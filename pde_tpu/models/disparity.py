@@ -1,0 +1,153 @@
+"""Stereo disparity, late linearisation with horizontal-only warping
+(DispEminND_llin_2D.m).
+
+Same robust two-term scheme as the warping flow, restricted to a scalar
+horizontal field: warp is x-only (:211-218), constancy tensors keep only
+the u-components (:223-240), channel tensors combine with a plain ``sum``
+so NaN (out-of-domain) pixels stay NaN and trigger the solver's
+pure-diffusion fallback (:297 + disparitySolvers.c:101-114 semantics),
+spatial prior uses the exp-shaped influence ``gS = γ/α·exp(-APnorm/ASdiff²)``
+(:283), diffusion weights come from the disparity field itself with
+zeroed borders (DdiffWeights MEX, imageDiffusionWeights.c).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pde_tpu.config import with_overrides
+from pde_tpu.core.median import medfilt2_3x3
+from pde_tpu.core.pyramid import build_pyramid
+from pde_tpu.core.resize import imresize
+from pde_tpu.ops.derivatives import fst_derivatives5, snd_derivatives5, rgb2grad
+from pde_tpu.ops.warp import bilinear_warp, identity_grid
+from pde_tpu.ops.weights import diffusion_weights_4
+from pde_tpu.solvers.sor import sor_disp_llin4
+from pde_tpu.solvers.tdma import alr_disp_llin4
+
+
+@dataclasses.dataclass(frozen=True)
+class DisparityParams:
+    """Defaults from DispEminND_llin_2D.m:52-67."""
+
+    alpha: float = 0.042
+    gammaS: float = 0.005
+    omega: float = 1.9
+    firstLoop: int = 4
+    secondLoop: int = 6
+    iter: int = 4
+    b1: float = 1.48
+    b2: float = 0.29
+    scales: int = 10**9
+    scl_factor: float = 0.75
+    solver: int = 2
+
+
+def warp_x(img, u):
+    h, w = img.shape[-2:]
+    x, y = identity_grid(h, w)
+    return bilinear_warp(img, x + u, y)
+
+
+def _disp_level(u, i1t0, i1t1, i2t0, i2t1, us_ap, as_diff, p: "DisparityParams",
+                snd_is_gradmag: bool):
+    has_snd = i2t1 is not None
+    has_us = us_ap is not None
+
+    for _first in range(p.firstLoop):
+        i1t1w = warp_x(i1t1, u)
+        i1dt, i1dx, _ = fst_derivatives5(i1t0, i1t1w)
+        cu1 = i1dt * i1dx
+        du1 = i1dx * i1dx
+        if has_snd:
+            i2t1w = warp_x(i2t1, u)
+            if snd_is_gradmag:
+                i2dxt, i2dyt, i2dxx, i2dyy, i2dxy = snd_derivatives5(i2t0, i2t1w)
+                cu2 = i2dxt * i2dxx + i2dyt * i2dxy
+                du2 = i2dxx * i2dxx + i2dxy * i2dxy
+            else:
+                i2dt, i2dx, _ = fst_derivatives5(i2t0, i2t1w)
+                cu2 = i2dt * i2dx
+                du2 = i2dx * i2dx
+
+        du_f = jnp.zeros_like(u)
+        for _second in range(p.secondLoop):
+            op1 = (i1dt - i1dx * du_f) ** 2
+            gd1 = p.b1 / (p.alpha * jnp.sqrt(op1 + 1e-5))
+            cu_parts = [cu1 * gd1]
+            du_parts = [du1 * gd1]
+            if has_snd:
+                if snd_is_gradmag:
+                    op2 = (i2dxt - i2dxx * du_f) ** 2 + (i2dyt - i2dxy * du_f) ** 2
+                else:
+                    op2 = (i2dt - i2dx * du_f) ** 2
+                gd2 = p.b2 / (p.alpha * jnp.sqrt(op2 + 1e-5))
+                cu_parts.append(cu2 * gd2)
+                du_parts.append(du2 * gd2)
+            if has_us:
+                ap_norm = (us_ap - u - du_f) ** 2
+                gs = (p.gammaS / p.alpha) * jnp.exp(-ap_norm / as_diff**2)
+                cu_parts.append(((us_ap - u) * gs)[None])
+                du_parts.append(gs[None])
+
+            # plain sum over channels: NaN propagates (reference :289-293)
+            cu_gd = sum(jnp.sum(x, axis=0) for x in cu_parts)
+            du_gd = sum(jnp.sum(x, axis=0) for x in du_parts)
+
+            ww, wn, we, ws = diffusion_weights_4(
+                u + du_f, eps=1e-5, combine="max", zero_borders=True
+            )
+            solve = alr_disp_llin4 if p.solver == 2 else sor_disp_llin4
+            du_f = solve(u, du_f, cu_gd, du_gd, ww, wn, we, ws, p.iter, p.omega)
+
+        u = medfilt2_3x3(u + du_f)
+    return u
+
+
+def disparity_nd(il, ir, fst_term: str = "grad", snd_term: str = "gradmag",
+                 params: DisparityParams | None = None, us=None, **overrides):
+    """il, ir: (C, H, W) or (H, W) uint8-range stereo pair. Returns U (H, W)."""
+    p = with_overrides(params or DisparityParams(), **overrides)
+    fst_term = fst_term.lower()
+    snd_term = snd_term.lower()
+    a = jnp.asarray(il, dtype=jnp.float32) / 255.0
+    b = jnp.asarray(ir, dtype=jnp.float32) / 255.0
+    if a.ndim == 2:
+        a, b = a[None], b[None]
+
+    levels = build_pyramid([a, b], p.scl_factor, 10, 5, 1.25, p.scales)
+    n = len(levels)
+
+    def fst_img(img):
+        return rgb2grad(img) if fst_term == "grad" else img
+
+    def snd_img(img):
+        return None if snd_term == "none" else img
+
+    us_lv = [None] * n
+    if us is not None:
+        cur = jnp.nan_to_num(jnp.asarray(us, dtype=jnp.float32))
+        us_lv = [cur]
+        for lvl in range(1, n):
+            cur = imresize(cur * p.scl_factor, levels[lvl][0].shape[-2:], "bilinear")
+            us_lv.append(cur)
+
+    level_fn = jax.jit(partial(_disp_level, p=p, snd_is_gradmag=(snd_term == "gradmag")))
+
+    u = None
+    for lvl in range(n - 1, -1, -1):
+        l0, l1 = levels[lvl]
+        h, w = l0.shape[-2:]
+        if u is None:
+            u = jnp.zeros((h, w), dtype=jnp.float32)
+        as_diff = 1.75 * p.scl_factor**lvl  # DispEminND_llin_2D.m:186
+        u = level_fn(u, fst_img(l0), fst_img(l1), snd_img(l0), snd_img(l1),
+                     us_lv[lvl], as_diff)
+        if lvl > 0:
+            nh, nw = levels[lvl - 1][0].shape[-2:]
+            u = imresize(u / p.scl_factor, (nh, nw), "bilinear")
+    return u

@@ -1,0 +1,209 @@
+"""Batched tridiagonal (Thomas) solves and zebra alternating-line relaxation.
+
+The reference's ALR ("solver=2") relaxes whole rows/columns with a Thomas
+solve, sweeping lines sequentially (block Gauss-Seidel,
+opticalflowSolvers.c:1763-3913). On TPU we solve *all* lines of one
+parity simultaneously — the scan runs along the line while the other
+image axis rides the 128-wide vector lanes — and recover the
+Gauss-Seidel character with zebra (even-lines-then-odd-lines) ordering.
+Mathematically the same smoother family; iteration counts are the tunable
+that absorbs the (small) convergence-constant difference.
+
+Line-system coefficients mirror middleColumn_llin4
+(opticalflowSolvers.c:2528-2640): diag ``Σw (+ data)``, off-diags
+``-wN/-wS`` (one-sided at the image edge), RHS couples the perpendicular
+neighbours with their current values, and the Thomas solution is
+SOR-blended with the previous iterate.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pde_tpu.core.grid import shift_w, shift_e, shift_n, shift_s
+
+
+def thomas_solve(a, b, c, d, axis: int = -2):
+    """Solve tridiagonal systems along ``axis``.
+
+    a: sub-diagonal coefficient at each point (a[0] ignored),
+    b: diagonal, c: super-diagonal (c[-1] ignored), d: RHS.
+    All arrays share a shape; the solve runs independently over every
+    other axis (those become vector lanes on the VPU).
+    """
+    a = jnp.moveaxis(a, axis, 0)
+    b = jnp.moveaxis(b, axis, 0)
+    c = jnp.moveaxis(c, axis, 0)
+    d = jnp.moveaxis(d, axis, 0)
+
+    def fwd(carry, inp):
+        cp_prev, dp_prev = carry
+        a_i, b_i, c_i, d_i = inp
+        denom = 1.0 / (b_i - cp_prev * a_i)
+        cp = c_i * denom
+        dp = (d_i - dp_prev * a_i) * denom
+        return (cp, dp), (cp, dp)
+
+    zeros = jnp.zeros_like(b[0])
+    _, (cp, dp) = lax.scan(fwd, (zeros, zeros), (a, b, c, d))
+
+    def bwd(x_next, inp):
+        cp_i, dp_i = inp
+        x = dp_i - cp_i * x_next
+        return x, x
+
+    _, xs = lax.scan(bwd, zeros, (cp, dp), reverse=True)
+    return jnp.moveaxis(xs, 0, axis)
+
+
+def _edge_zero(w, axis, side):
+    """Zero the first/last slice along axis (one-sided line ends)."""
+    idx = [slice(None)] * w.ndim
+    idx[axis] = 0 if side == "first" else -1
+    return w.at[tuple(idx)].set(0.0)
+
+
+def _line_pass_llin(f, df, other_rhs, cu, duc, ww, wn, we, ws, omega, parity, vertical):
+    """One zebra half-pass of the llin4 line relaxation for one field.
+
+    f: frozen base field (U); df: current increment; other_rhs: Cu - M*dV
+    style data RHS (with NaN where data invalid); returns updated df.
+    """
+    h, w = f.shape[-2:]
+    # all four weights are edge-zeroed in the reference's line routines:
+    # west/east/north/south specialisations drop the out-facing term from
+    # both the diagonal and the RHS (e.g. westColumn_llin4,
+    # opticalflowSolvers.c:2415-2520: b = wS+wE at the NW corner).
+    wn_l = _edge_zero(wn, -2, "first")
+    ws_l = _edge_zero(ws, -2, "last")
+    ww_l = _edge_zero(ww, -1, "first")
+    we_l = _edge_zero(we, -1, "last")
+    b = wn_l + ws_l + ww_l + we_l
+    if vertical:
+        # solve along rows (axis -2); perpendicular neighbours are W/E
+        perp = ww_l * (shift_w(f) - f + shift_w(df)) + we_l * (shift_e(f) - f + shift_e(df))
+        along = wn_l * (shift_n(f) - f) + ws_l * (shift_s(f) - f)
+        a, c = -wn_l, -ws_l
+        axis = -2
+        lines = jnp.arange(w)[None, :] % 2
+    else:
+        perp = wn_l * (shift_n(f) - f + shift_n(df)) + ws_l * (shift_s(f) - f + shift_s(df))
+        along = ww_l * (shift_w(f) - f) + we_l * (shift_e(f) - f)
+        a, c = -ww_l, -we_l
+        axis = -1
+        lines = (jnp.arange(h) % 2)[:, None]
+
+    valid = ~jnp.isnan(cu)
+    b = b + jnp.where(valid, jnp.nan_to_num(duc), 0.0)
+    d = perp + along + jnp.where(valid, jnp.nan_to_num(other_rhs), 0.0)
+    x = thomas_solve(a, b, c, d, axis=axis)
+    blended = omega * x + (1.0 - omega) * df
+    return jnp.where(lines == parity, blended, df)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def alr_flow_llin4(u, v, du, dv, m, cu, cv, duc, dvc, ww, wn, we, ws, iters: int, omega: float):
+    """Zebra ALR for the late-linearised flow pair (cf. GS_ALR_SOR_llin4_2d).
+
+    Sweep order mirrors the reference (opticalflowSolvers.c:238-257):
+    U columns, V columns, V rows, U rows.
+    """
+    m0 = jnp.nan_to_num(m)
+
+    def body(_, state):
+        du_, dv_ = state
+        for par in (0, 1):
+            du_ = _line_pass_llin(u, du_, cu - m0 * dv_, cu, duc, ww, wn, we, ws, omega, par, True)
+        for par in (0, 1):
+            dv_ = _line_pass_llin(v, dv_, cv - m0 * du_, cv, dvc, ww, wn, we, ws, omega, par, True)
+        for par in (0, 1):
+            dv_ = _line_pass_llin(v, dv_, cv - m0 * du_, cv, dvc, ww, wn, we, ws, omega, par, False)
+        for par in (0, 1):
+            du_ = _line_pass_llin(u, du_, cu - m0 * dv_, cu, duc, ww, wn, we, ws, omega, par, False)
+        return du_, dv_
+
+    return lax.fori_loop(0, iters, body, (du, dv))
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def alr_flow_elin4(u, v, m, cu, cv, duc, dvc, ww, wn, we, ws, iters: int, omega: float):
+    """Zebra ALR for the early-linearised pair (cf. GS_ALR_SOR_elin4_2d).
+
+    Early linearisation solves U directly: expressed through the llin core
+    with a zero base field so ``shift(f)-f`` vanishes and ``df`` is U.
+    """
+    zero = jnp.zeros_like(u)
+    m0 = jnp.nan_to_num(m)
+
+    def body(_, state):
+        u_, v_ = state
+        for par in (0, 1):
+            u_ = _line_pass_llin(zero, u_, cu - m0 * v_, cu, duc, ww, wn, we, ws, omega, par, True)
+        for par in (0, 1):
+            v_ = _line_pass_llin(zero, v_, cv - m0 * u_, cv, dvc, ww, wn, we, ws, omega, par, True)
+        for par in (0, 1):
+            v_ = _line_pass_llin(zero, v_, cv - m0 * u_, cv, dvc, ww, wn, we, ws, omega, par, False)
+        for par in (0, 1):
+            u_ = _line_pass_llin(zero, u_, cu - m0 * v_, cu, duc, ww, wn, we, ws, omega, par, False)
+        return u_, v_
+
+    return lax.fori_loop(0, iters, body, (u, v))
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def alr_disp_llin4(u, du, cu, duc, ww, wn, we, ws, iters: int, omega: float):
+    """Zebra ALR for the scalar disparity increment (cf. disparitySolvers.c
+    GS_ALR_SOR_llin4_2d:154-217: columns then rows)."""
+
+    def body(_, du_):
+        for par in (0, 1):
+            du_ = _line_pass_llin(u, du_, cu, cu, duc, ww, wn, we, ws, omega, par, True)
+        for par in (0, 1):
+            du_ = _line_pass_llin(u, du_, cu, cu, duc, ww, wn, we, ws, omega, par, False)
+        return du_
+
+    return lax.fori_loop(0, iters, body, du)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def alr_pde4(x, trace, b, ww, wn, we, ws, iters: int, omega: float):
+    """Zebra ALR for the diagonal form (cf. GS_ALR_SOR_4_2d): lines use
+    diag TRACE, off-diag -wN/-wS (or -wW/-wE), RHS B + perpendicular flux."""
+    tr_nan = jnp.isnan(trace)
+    h, w = x.shape[-2:]
+    col_par = jnp.arange(w)[None, :] % 2
+    row_par = (jnp.arange(h) % 2)[:, None]
+
+    wn_l = _edge_zero(wn, -2, "first")
+    ws_l = _edge_zero(ws, -2, "last")
+    ww_l = _edge_zero(ww, -1, "first")
+    we_l = _edge_zero(we, -1, "last")
+    # NaN TRACE -> pure diffusion: diag = edge-zeroed weight sum, B dropped
+    # (TDMA_wcolumn_ALR_4, pdeSolvers.c:442-501)
+    diag = jnp.where(tr_nan, wn_l + ws_l + ww_l + we_l, jnp.nan_to_num(trace, nan=1.0))
+    b_eff = jnp.where(tr_nan, 0.0, b)
+
+    def vpass(xc, parity):
+        d = b_eff + ww_l * shift_w(xc) + we_l * shift_e(xc)
+        sol = thomas_solve(-wn_l, diag, -ws_l, d, axis=-2)
+        blended = omega * sol + (1.0 - omega) * xc
+        return jnp.where(col_par == parity, blended, xc)
+
+    def hpass(xc, parity):
+        d = b_eff + wn_l * shift_n(xc) + ws_l * shift_s(xc)
+        sol = thomas_solve(-ww_l, diag, -we_l, d, axis=-1)
+        blended = omega * sol + (1.0 - omega) * xc
+        return jnp.where(row_par == parity, blended, xc)
+
+    def body(_, xc):
+        xc = vpass(xc, 0)
+        xc = vpass(xc, 1)
+        xc = hpass(xc, 0)
+        xc = hpass(xc, 1)
+        return xc
+
+    return lax.fori_loop(0, iters, body, x)
