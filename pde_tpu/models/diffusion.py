@@ -35,7 +35,9 @@ class Diffusion4Params:
 @partial(jax.jit, static_argnames=("outer_iter",))
 def _diffuse(x, alpha, outer_iter):
     def body(_, u):
+        # weights are max-over-channels (H, W); the solve runs per channel
         ww, wn, we, ws = diffusion_weights_4(u, eps=1e-5, combine="max", zero_borders=True)
+        ww, wn, we, ws = (jnp.broadcast_to(w_, u.shape) for w_ in (ww, wn, we, ws))
         ver = thomas_solve(-alpha * wn, 2.0 + alpha * (wn + ws), -alpha * ws, u, axis=-2)
         hor = thomas_solve(-alpha * ww, 2.0 + alpha * (ww + we), -alpha * we, u, axis=-1)
         return ver + hor

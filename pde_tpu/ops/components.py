@@ -1,0 +1,104 @@
+"""Connected components on TPU: iterative min-label propagation.
+
+The reference leans on MATLAB ``bwlabel``/``regionprops`` for a single
+purpose — keeping only the biggest connected component of a level set
+(DispSegmentation.m:282-298). Sequential union-find does not map to the
+VPU; instead every masked pixel starts with its linear index and labels
+propagate by repeated neighbourhood minima. Propagation is accelerated
+with row/column running minima (``lax.associative_scan``), so label
+information crosses the whole image in one sweep along each axis —
+convergence takes O(number of "zigzags" of the most serpentine region),
+typically < 10 sweeps, guarded by a ``while_loop`` on change.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pde_tpu.core.grid import shift_w, shift_e, shift_n, shift_s
+
+_BIG = jnp.float32(3.4e38)
+
+
+def _masked_min(lab, mask):
+    """One 8-neighbour min + full row/col min-scan pass, masked."""
+    inf = _BIG
+    m_lab = jnp.where(mask, lab, inf)
+
+    def nbr_min(x):
+        cand = jnp.minimum(
+            jnp.minimum(shift_w(x), shift_e(x)),
+            jnp.minimum(shift_n(x), shift_s(x)),
+        )
+        diag = jnp.minimum(
+            jnp.minimum(shift_n(shift_w(x)), shift_n(shift_e(x))),
+            jnp.minimum(shift_s(shift_w(x)), shift_s(shift_e(x))),
+        )
+        return jnp.minimum(cand, diag)
+
+    # neighbour minima (8-connectivity, as MATLAB bwlabel default)
+    x = jnp.where(mask, jnp.minimum(m_lab, nbr_min(m_lab)), inf)
+
+    # running minima along rows/cols, restarting at mask breaks: classic
+    # "segmented min-scan" — combine op keeps the min while the segment
+    # is unbroken.
+    def seg_scan(vals, axis, reverse):
+        seg = mask
+
+        def combine(a, b):
+            av, aseg = a
+            bv, bseg = b
+            v = jnp.where(bseg, jnp.minimum(jnp.where(aseg, av, inf), bv), bv)
+            return v, aseg & bseg
+
+        v, _ = lax.associative_scan(combine, (vals, seg), axis=axis, reverse=reverse)
+        return jnp.where(mask, v, inf)
+
+    for axis in (-2, -1):
+        x = seg_scan(x, axis, False)
+        x = seg_scan(x, axis, True)
+    return jnp.where(mask, x, inf)
+
+
+@jax.jit
+def label_components(mask: jnp.ndarray):
+    """8-connected component labels of a boolean (H, W) mask.
+
+    Returns int32 (H, W): 0 outside the mask, otherwise 1 + the smallest
+    linear index in the component (label values are arbitrary but unique
+    per component, like bwlabel's).
+    """
+    h, w = mask.shape
+    init = jnp.arange(h * w, dtype=jnp.float32).reshape(h, w)
+    init = jnp.where(mask, init, _BIG)
+
+    def cond(state):
+        lab, changed = state
+        return changed
+
+    def body(state):
+        lab, _ = state
+        new = _masked_min(lab, mask)
+        return new, jnp.any(new != lab)
+
+    lab, _ = lax.while_loop(cond, body, (_masked_min(init, mask), jnp.bool_(True)))
+    return jnp.where(mask, lab.astype(jnp.int32) + 1, 0)
+
+
+@jax.jit
+def biggest_component_mask(mask: jnp.ndarray):
+    """Boolean mask of the largest 8-connected component of ``mask``.
+
+    Mirrors the reference's sanity pass (DispSegmentation.m:282-290):
+    Ot = -5 everywhere, +5 on the biggest component.
+    """
+    h, w = mask.shape
+    lab = label_components(mask)
+    sizes = jnp.zeros(h * w + 1, dtype=jnp.int32).at[lab.ravel()].add(
+        mask.ravel().astype(jnp.int32)
+    )
+    sizes = sizes.at[0].set(0)  # background never wins
+    best = jnp.argmax(sizes)
+    return lab == best

@@ -129,6 +129,138 @@ def alr_flow_llin4(u, v, du, dv, m, cu, cv, duc, dvc, ww, wn, we, ws, iters: int
     return lax.fori_loop(0, iters, body, (du, dv))
 
 
+def _zero_diag_borders(wnw, wne, wse, wsw):
+    """Diagonal weights vanish wherever the diagonal neighbour is off-image."""
+    wnw = _edge_zero(_edge_zero(wnw, -2, "first"), -1, "first")
+    wne = _edge_zero(_edge_zero(wne, -2, "first"), -1, "last")
+    wse = _edge_zero(_edge_zero(wse, -2, "last"), -1, "last")
+    wsw = _edge_zero(_edge_zero(wsw, -2, "last"), -1, "first")
+    return wnw, wne, wse, wsw
+
+
+def _line_pass_llin8(f, df, other_rhs, cu, duc,
+                     ww, wnw, wn, wne, we, wse, ws, wsw, omega, parity, vertical):
+    """One zebra half-pass of the 8-neighbour llin line relaxation.
+
+    Column solves keep N/S on the tridiagonal; W/E and the four diagonals
+    couple through the RHS with their current values (the reference's
+    llin8 line routines, opticalflowSolvers.c:3100-3913, do the same with
+    lexicographic lag instead of zebra lag).
+    """
+    h, w = f.shape[-2:]
+    wn_l = _edge_zero(wn, -2, "first")
+    ws_l = _edge_zero(ws, -2, "last")
+    ww_l = _edge_zero(ww, -1, "first")
+    we_l = _edge_zero(we, -1, "last")
+    wnw_l, wne_l, wse_l, wsw_l = _zero_diag_borders(wnw, wne, wse, wsw)
+    b = wn_l + ws_l + ww_l + we_l + wnw_l + wne_l + wse_l + wsw_l
+
+    def lagged(shift_fn, wgt):
+        return wgt * (shift_fn(f) - f + shift_fn(df))
+
+    def along(shift_fn, wgt):
+        return wgt * (shift_fn(f) - f)
+
+    diag = (
+        lagged(lambda x: shift_n(shift_w(x)), wnw_l)
+        + lagged(lambda x: shift_n(shift_e(x)), wne_l)
+        + lagged(lambda x: shift_s(shift_e(x)), wse_l)
+        + lagged(lambda x: shift_s(shift_w(x)), wsw_l)
+    )
+    if vertical:
+        perp = lagged(shift_w, ww_l) + lagged(shift_e, we_l)
+        line = along(shift_n, wn_l) + along(shift_s, ws_l)
+        a, c = -wn_l, -ws_l
+        axis = -2
+        lines = jnp.arange(w)[None, :] % 2
+    else:
+        perp = lagged(shift_n, wn_l) + lagged(shift_s, ws_l)
+        line = along(shift_w, ww_l) + along(shift_e, we_l)
+        a, c = -ww_l, -we_l
+        axis = -1
+        lines = (jnp.arange(h) % 2)[:, None]
+
+    valid = ~jnp.isnan(cu)
+    b = b + jnp.where(valid, jnp.nan_to_num(duc), 0.0)
+    d = perp + line + diag + jnp.where(valid, jnp.nan_to_num(other_rhs), 0.0)
+    x = thomas_solve(a, b, c, d, axis=axis)
+    blended = omega * x + (1.0 - omega) * df
+    return jnp.where(lines == parity, blended, df)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def alr_flow_llin8(u, v, du, dv, m, cu, cv, duc, dvc,
+                   ww, wnw, wn, wne, we, wse, ws, wsw, iters: int, omega: float):
+    """Zebra ALR for the 8-neighbour (anisotropic) flow pair
+    (cf. GS_ALR_SOR_llin8_2d, opticalflowSolvers.c:1677-). Same sweep order
+    as the 4-neighbour variant: U cols, V cols, V rows, U rows."""
+    m0 = jnp.nan_to_num(m)
+    w8 = (ww, wnw, wn, wne, we, wse, ws, wsw)
+
+    def body(_, state):
+        du_, dv_ = state
+        for par in (0, 1):
+            du_ = _line_pass_llin8(u, du_, cu - m0 * dv_, cu, duc, *w8, omega, par, True)
+        for par in (0, 1):
+            dv_ = _line_pass_llin8(v, dv_, cv - m0 * du_, cv, dvc, *w8, omega, par, True)
+        for par in (0, 1):
+            dv_ = _line_pass_llin8(v, dv_, cv - m0 * du_, cv, dvc, *w8, omega, par, False)
+        for par in (0, 1):
+            du_ = _line_pass_llin8(u, du_, cu - m0 * dv_, cu, duc, *w8, omega, par, False)
+        return du_, dv_
+
+    return lax.fori_loop(0, iters, body, (du, dv))
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def alr_pde8(x, trace, b, ww, wnw, wn, wne, we, wse, ws, wsw, iters: int, omega: float):
+    """Zebra ALR for the 8-neighbour diagonal form (cf. GS_ALR_SOR_8_2d,
+    pdeSolvers.c:344-408): lines keep N/S (or W/E) on the tridiagonal,
+    all other neighbours couple through the RHS."""
+    tr_nan = jnp.isnan(trace)
+    h, w = x.shape[-2:]
+    col_par = jnp.arange(w)[None, :] % 2
+    row_par = (jnp.arange(h) % 2)[:, None]
+
+    wn_l = _edge_zero(wn, -2, "first")
+    ws_l = _edge_zero(ws, -2, "last")
+    ww_l = _edge_zero(ww, -1, "first")
+    we_l = _edge_zero(we, -1, "last")
+    wnw_l, wne_l, wse_l, wsw_l = _zero_diag_borders(wnw, wne, wse, wsw)
+    wsum = wn_l + ws_l + ww_l + we_l + wnw_l + wne_l + wse_l + wsw_l
+    diag = jnp.where(tr_nan, wsum, jnp.nan_to_num(trace, nan=1.0))
+    b_eff = jnp.where(tr_nan, 0.0, b)
+
+    def diag_flux(xc):
+        return (
+            wnw_l * shift_n(shift_w(xc))
+            + wne_l * shift_n(shift_e(xc))
+            + wse_l * shift_s(shift_e(xc))
+            + wsw_l * shift_s(shift_w(xc))
+        )
+
+    def vpass(xc, parity):
+        d = b_eff + ww_l * shift_w(xc) + we_l * shift_e(xc) + diag_flux(xc)
+        sol = thomas_solve(-wn_l, diag, -ws_l, d, axis=-2)
+        blended = omega * sol + (1.0 - omega) * xc
+        return jnp.where(col_par == parity, blended, xc)
+
+    def hpass(xc, parity):
+        d = b_eff + wn_l * shift_n(xc) + ws_l * shift_s(xc) + diag_flux(xc)
+        sol = thomas_solve(-ww_l, diag, -we_l, d, axis=-1)
+        blended = omega * sol + (1.0 - omega) * xc
+        return jnp.where(row_par == parity, blended, xc)
+
+    def body(_, xc):
+        xc = vpass(xc, 0)
+        xc = vpass(xc, 1)
+        xc = hpass(xc, 0)
+        xc = hpass(xc, 1)
+        return xc
+
+    return lax.fori_loop(0, iters, body, x)
+
+
 @partial(jax.jit, static_argnames=("iters",))
 def alr_flow_elin4(u, v, m, cu, cv, duc, dvc, ww, wn, we, ws, iters: int, omega: float):
     """Zebra ALR for the early-linearised pair (cf. GS_ALR_SOR_elin4_2d).
