@@ -27,7 +27,7 @@ from pde_tpu.ops.derivatives import fst_derivatives5, snd_derivatives5, rgb2grad
 from pde_tpu.ops.warp import bilinear_warp, identity_grid
 from pde_tpu.ops.weights import diffusion_weights_4
 from pde_tpu.solvers.sor import sor_disp_llin4
-from pde_tpu.solvers.tdma import alr_disp_llin4
+from pde_tpu.solvers.krylov import pcg_disp_llin4
 
 
 @dataclasses.dataclass(frozen=True)
@@ -101,7 +101,7 @@ def _disp_level(u, i1t0, i1t1, i2t0, i2t1, us_ap, as_diff, p: "DisparityParams",
             ww, wn, we, ws = diffusion_weights_4(
                 u + du_f, eps=1e-5, combine="max", zero_borders=True
             )
-            solve = alr_disp_llin4 if p.solver == 2 else sor_disp_llin4
+            solve = pcg_disp_llin4 if p.solver == 2 else sor_disp_llin4
             du_f = solve(u, du_f, cu_gd, du_gd, ww, wn, we, ws, p.iter, p.omega)
 
         u = medfilt2_3x3(u + du_f)

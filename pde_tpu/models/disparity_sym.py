@@ -38,7 +38,7 @@ from pde_tpu.models.disparity import warp_x
 from pde_tpu.ops.derivatives import fst_derivatives5, snd_derivatives5, SMOOTHER5, FST_DERIVATOR5
 from pde_tpu.ops.weights import diffusion_weights_4
 from pde_tpu.solvers.sor import sor_disp_llin_sym4
-from pde_tpu.solvers.tdma import alr_disp_llin4
+from pde_tpu.solvers.krylov import pcg_disp_llin4
 
 
 @dataclasses.dataclass(frozen=True)
@@ -127,7 +127,7 @@ def _sym_level(u0, u1, it0, it1, sr_diff, p: "DisparitySymParams"):
                 # batch them through the scalar ALR (cf. GS_ALR_SOR_llinsym4_2d)
                 pack = lambda a, b: jnp.stack([a, b])  # noqa: E731
                 out = jax.vmap(
-                    lambda uu, dd, cc, DD, a, b_, c, d: alr_disp_llin4(
+                    lambda uu, dd, cc, DD, a, b_, c, d: pcg_disp_llin4(
                         uu, dd, cc, DD, a, b_, c, d, p.iter, p.omega
                     )
                 )(

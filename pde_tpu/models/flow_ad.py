@@ -30,7 +30,7 @@ from pde_tpu.ops.derivatives import rgb2grad
 from pde_tpu.ops.warp import warp_by_flow
 from pde_tpu.ops.weights import tensor_diffusion_weights_8
 from pde_tpu.solvers.sor import sor_flow_llin8
-from pde_tpu.solvers.tdma import alr_flow_llin8
+from pde_tpu.solvers.krylov import pcg_flow_llin8
 
 
 @dataclasses.dataclass(frozen=True)
@@ -116,7 +116,7 @@ def _ad_level(u, v, it0, i1t0, i1t1, i2t0, i2t1, us_ap, vs_ap, as_diff,
             if not image_diff:
                 w8 = tensor_diffusion_weights_8(u + du + v + dv, quantile=p.quantile)
 
-            solve = alr_flow_llin8 if p.solver == 2 else sor_flow_llin8
+            solve = pcg_flow_llin8 if p.solver == 2 else sor_flow_llin8
             du, dv = solve(u, v, du, dv, m_gd, cu_gd, cv_gd, du_gd, dv_gd,
                            *w8, p.iter, p.omega)
 

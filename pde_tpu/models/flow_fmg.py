@@ -50,7 +50,7 @@ from pde_tpu.core.resize import imresize
 from pde_tpu.ops.derivatives import SMOOTHER5, FST_DERIVATOR5, SND_DERIVATOR5
 from pde_tpu.ops.weights import diffusion_weights_4
 from pde_tpu.solvers.sor import sor_flow_elin4, residuals_elin4, lhs_elin4
-from pde_tpu.solvers.tdma import alr_flow_elin4
+from pde_tpu.solvers.krylov import pcg_flow_elin4
 
 # full-weighting restriction stencil (FlowEminNDFASFMG_elin_2D_v10.m:198)
 _FW = np.array([[1.0, 2.0, 1.0], [2.0, 4.0, 2.0], [1.0, 2.0, 1.0]], dtype=np.float32) / 16.0
@@ -138,7 +138,7 @@ def _smooth(u, v, t, c, cu, cv, p: "FlowFMGParams", want_residuals: bool):
         cv_gd = _reduce_c(cv * gd)
         du_gd = _reduce_c(c["du"] * gd)
         dv_gd = _reduce_c(c["dv"] * gd)
-        solve = alr_flow_elin4 if p.solver == 2 else sor_flow_elin4
+        solve = pcg_flow_elin4 if p.solver == 2 else sor_flow_elin4
         u, v = solve(u, v, m_gd, cu_gd, cv_gd, du_gd, dv_gd, ww, wn, we, ws, p.iter, p.omega)
 
     if not want_residuals:

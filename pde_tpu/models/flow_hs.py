@@ -28,7 +28,7 @@ from pde_tpu.core.pyramid import build_pyramid
 from pde_tpu.core.resize import imresize
 from pde_tpu.ops.derivatives import SMOOTHER5, FST_DERIVATOR5, SND_DERIVATOR5
 from pde_tpu.solvers.sor import sor_flow_elin4
-from pde_tpu.solvers.tdma import alr_flow_elin4
+from pde_tpu.solvers.krylov import pcg_flow_elin4
 
 
 @dataclasses.dataclass(frozen=True)
@@ -76,7 +76,7 @@ def _hs_level(u, v, it0, it1, alpha_w, b1, b2, omega, iters, solver):
     m, cu, cv, du, dv = (jnp.sum(t, axis=0) for t in (m, cu, cv, du, dv))
 
     w = jnp.full(u.shape, alpha_w, dtype=u.dtype)
-    solve = alr_flow_elin4 if solver == 2 else sor_flow_elin4
+    solve = pcg_flow_elin4 if solver == 2 else sor_flow_elin4
     return solve(u, v, m, cu, cv, du, dv, w, w, w, w, iters, omega)
 
 

@@ -39,7 +39,7 @@ from pde_tpu.ops.derivatives import fst_derivatives5, snd_derivatives5, rgb2grad
 from pde_tpu.ops.warp import warp_by_flow
 from pde_tpu.ops.weights import diffusion_weights_4
 from pde_tpu.solvers.sor import sor_flow_llin4
-from pde_tpu.solvers.tdma import alr_flow_llin4
+from pde_tpu.solvers.krylov import pcg_flow_llin4
 
 
 @dataclasses.dataclass(frozen=True)
@@ -139,7 +139,7 @@ def _nd_level(u, v, i1t0, i1t1, i2t0, i2t1, us_ap, vs_ap, as_diff, p: "FlowNDPar
             ww, wn, we, ws = diffusion_weights_4(
                 jnp.stack([u + du, v + dv]), eps=1e-5, combine="sum"
             )
-            solve = alr_flow_llin4 if p.solver == 2 else sor_flow_llin4
+            solve = pcg_flow_llin4 if p.solver == 2 else sor_flow_llin4
             du, dv = solve(u, v, du, dv, m_gd, cu_gd, cv_gd, du_gd, dv_gd,
                            ww, wn, we, ws, p.iter, p.omega)
 

@@ -1,0 +1,474 @@
+"""Level-set disparity segmentation: Chan-Vese active regions + RANSAC
+polynomial surfaces (dense: DispSegmentation.m; sparse: NaN-holed maps,
+DispSegmentationSparse.m).
+
+Pipeline (dense, DispSegmentation.m:96-145):
+
+1. ``generateSeeds`` — grow one seed at a time over a "there and back"
+   pyramid (fine->coarse->fine, :66-91): per stage x iteration, RANSAC-fit
+   a plane/quadric to the current segment (SurfaceEquation MEX ->
+   ``ops.ransac.ransac_surface``), convert squared surface distance into a
+   Gaussian log-likelihood-ratio DATA term (:365-374), and take one
+   semi-implicit Chan-Vese AOS step (CV_solver_2d -> ``solvers.aos``).
+   A mid-pyramid sanity pass keeps only the biggest connected component
+   (:282-298 -> ``ops.components``). Seeds that collapse (<20 px) shrink
+   gamma by 0.8 and are skipped (:330-335, :402-405).
+2. ``regionCompetition`` — all segments compete: per segment RANSAC refit
+   + likelihood (recomputed every 2nd iteration, :531), a competition
+   DATA term by strategy ('surface' / 'greedy' / 'inverse', :590-618),
+   one CV AOS step on the whole segment stack (frames dim = batch), and
+   small-segment removal (:505-529; removal resets every warm start).
+3. Orchestration: seeds -> competition('inverse') -> more seeds in the
+   uncovered area -> competition again (:99-143); a warm-start ``phi``
+   input re-segments instead (:147-180).
+
+TPU mapping: each iteration's heavy math (vmapped RANSAC over segments +
+hypotheses, likelihoods, AOS tridiagonal batch) is one jitted program per
+(stage-shape, segment-count); the seed/stage/iteration loops stay on the
+host because segment births/deaths resize the stack (the reference
+mutates cell arrays the same way). ``jax.random`` replaces libc
+``rand()``/``srand(time)`` (ransac.c:230-234) — parity is statistical.
+
+Sparse deltas (DispSegmentationSparse.m): 5x5 NaN-median prefilter at
+every pyramid level (:63,76), NaN->1000 sentinel before fitting
+(:284,500), variance over inlier distances < 100 only (:418-420,
+:598-600), polyorder default 2, scl_factor 0.75, gen/rc_scl 0.55, seed
+gamma 0.005 (:226) and competition gamma 0.005*(rows*cols)^0.7 (:495).
+
+The small-segment filter at the end of the reference's generateSeeds
+(:636-645 dense) inspects ``PHI{1}`` — the *working level-set*, not the
+accumulated ``PHIout`` stack — so it never removes anything; we reproduce
+that behaviour (no removal) for parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pde_tpu.config import with_overrides
+from pde_tpu.core.median import nanmedfilt2
+from pde_tpu.core.resize import imresize
+from pde_tpu.ops.ransac import ransac_surface, surface_features
+from pde_tpu.ops.components import biggest_component_mask
+from pde_tpu.solvers.aos import cv_aos_step
+
+_EPS = float(np.finfo(np.float64).eps)
+_CDX = np.array([-0.5, 0.0, 0.5], dtype=np.float32)  # O_dx = [-1 0 1]*0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class DispSegParams:
+    """Dense defaults: DispSegmentation.m:40-53; sparse: Sparse.m:42-55."""
+
+    tau: float = 1.0
+    srem_thr: float = 0.002
+    polyorder: int = 1
+    seeds: int = 15
+    scl_factor: float = 0.7
+    gen_scl: float = 0.2
+    rc_scl: float = 0.4
+    ransac_min_cset: float = 0.1
+    ransac_max_cset: float = 0.7
+    ransac_cset_cycles: int = 10
+    varLim: float = 0.7  # sparse variant exposes this (Sparse.m:46)
+    rng_seed: int = 0
+    # loop counts of the hard-wired orchestration calls
+    # (DispSegmentation.m:103-143); exposed so tests can shrink them
+    seed_iterations: int = 20
+    rc_iterations: int = 30
+    rc_iterations2: int = 20
+    ransac_first: int = 2000
+    ransac_rest: int = 100
+
+
+def sparse_defaults() -> DispSegParams:
+    return DispSegParams(polyorder=2, scl_factor=0.75, gen_scl=0.55, rc_scl=0.55)
+
+
+def _grad_mag(phi):
+    """|grad PHI| by the [-0.5 0 0.5] correlation with replicate borders."""
+    from pde_tpu.core.conv import imfilter_replicate
+
+    dx = imfilter_replicate(phi, _CDX[None, :])
+    dy = imfilter_replicate(phi, _CDX[:, None])
+    return jnp.sqrt(dx * dx + dy * dy)
+
+
+def _delta_heaviside(phi, floor=None):
+    dh = 1.0 / (np.pi * (1.0 + phi * phi))
+    if floor is not None:
+        dh = jnp.maximum(dh, floor)
+    return dh
+
+
+# ---------------------------------------------------------------------------
+# generateSeeds (DispSegmentation.m:203-443)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("riter", "order", "inlier_lt_100"))
+def _seed_iter(key, phi, d, d_fit, include, h1eq, min_cov, gamma_scl, rcons, tau,
+               riter: int, order: int, inlier_lt_100: bool):
+    """One seed-growth iteration: RANSAC fit + likelihood DATA + CV step."""
+    h, w = d.shape
+    feats = surface_features(h, w, order)
+    h1 = phi >= 0.0
+    model, dist_d = ransac_surface(key, d_fit, h1, feats, 0.7, rcons, riter,
+                                   model_in=h1eq)
+    h1sum = jnp.sum(h1)
+    if inlier_lt_100:
+        inl = h1 & (dist_d < 100.0)
+        cov = jnp.sum(jnp.where(inl, dist_d, 0.0)) / jnp.maximum(jnp.sum(inl), 1)
+    else:
+        cov = jnp.sum(jnp.where(h1, dist_d, 0.0)) / jnp.maximum(h1sum, 1)
+    cov_raw = cov  # pre-floor variance: the mid-pyramid minCOV reset
+    # (:408-412) uses the unfloored value
+    cov = jnp.maximum(cov, min_cov)
+    norm = 1.0 / jnp.sqrt(2.0 * np.pi * cov)
+    p1 = norm * jnp.exp(-dist_d / (2.0 * cov))
+    p0 = norm - p1
+    data = jnp.log((p1 + _EPS) / (p0 + _EPS))
+    data = jnp.where(include, data, -2.0)
+    dh = _delta_heaviside(phi)
+    grad = _grad_mag(phi)
+    phi = cv_aos_step(phi, data, dh, grad, tau, gamma_scl)
+    return phi, model, cov_raw
+
+
+def _generate_seeds(d_levels, d_fit_levels, pyramid, order, sigma_lim, cset_vect,
+                    iterations, aa0, seeds, gamma0, tau, key,
+                    ransac_first, ransac_rest, inlier_lt_100):
+    """Returns (list of (H, W) phi fields, list of (k,) models, key)."""
+    n_levels = max(pyramid)  # pyramid entries are 1-based level indices
+    shapes = [d_levels[i].shape for i in range(n_levels)]
+    h0, w0 = shapes[0]
+
+    phi_init = -np.ones((h0, w0), np.float32)
+    phi_init[1:h0 - 1:5, 1:w0 - 1:5] = 1.0  # PHIinitial(2:5:end-1) (:238-239)
+    phi_init = jnp.asarray(phi_init)
+
+    aa = [jnp.asarray(aa0, jnp.float32)]
+    phi_out, models_out = [], []
+    gamma = gamma0
+    sig_empty = False
+
+    for _seed in range(seeds):
+        if not sig_empty:
+            aa = [aa[0]]
+            for i in range(1, n_levels):
+                aa.append(imresize(aa[i - 1], shapes[i], "bicubic"))
+        sig_empty = False
+        min_cov = float(sigma_lim)
+        phi = phi_init
+        h1eq = jnp.zeros((3 if order == 1 else 6,), jnp.float32)
+        last_cov = None
+
+        for cscl in range(len(pyramid) - 1):
+            scl = pyramid[cscl] - 1  # to 0-based
+            h, w = shapes[scl]
+            gamma_scl = gamma * float((h * w) ** 0.7)
+            include = aa[scl] > 0.05
+            if cscl == 0:
+                phi = jnp.where(include, phi, -1.0)
+
+            if cscl == round(len(pyramid) / 2) - 1:
+                # biggest-connected-component sanity pass (:282-298)
+                big = biggest_component_mask(phi > 0)
+                phi = jnp.where(big, 5.0, -5.0)
+
+            for it in range(iterations):
+                riter = ransac_first if (it == 0 and cscl == 0) else ransac_rest
+                if cscl == 0:
+                    rcons = cset_vect[min(it, len(cset_vect) - 1)]
+                else:
+                    rcons = cset_vect[-1]
+                if int(jnp.sum(phi >= 0.0)) < 20:
+                    sig_empty = True
+                    break
+                key, sub = jax.random.split(key)
+                phi, h1eq, last_cov = _seed_iter(
+                    sub, phi, d_levels[scl], d_fit_levels[scl], include, h1eq,
+                    min_cov, gamma_scl, rcons, tau,
+                    riter=riter, order=order, inlier_lt_100=inlier_lt_100,
+                )
+
+            if sig_empty:
+                gamma = gamma * 0.8
+                break
+
+            if cscl == round(len(pyramid) / 2) - 1 and last_cov is not None:
+                # auto-adjust the minimum variance (:408-412): the reference
+                # recomputes cov from the last distD without the floor
+                min_cov = float(last_cov)
+
+            nxt = pyramid[cscl + 1]
+            if nxt != -1:
+                phi = imresize(phi, shapes[nxt - 1], "bicubic")
+
+        if not sig_empty:
+            phi_out.append(phi)
+            models_out.append(h1eq)
+            aa[0] = jnp.asarray((np.asarray(phi) < 0) & (np.asarray(aa[0]) > 0),
+                                jnp.float32)
+
+    return phi_out, models_out, key
+
+
+# ---------------------------------------------------------------------------
+# regionCompetition (DispSegmentation.m:448-654)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("order", "strategy", "inlier_lt_100"))
+def _rc_recompute(key, phi, d, d_fit, surface, min_cov, cset,
+                  order: int, strategy: str, inlier_lt_100: bool):
+    """Per-segment RANSAC refit + likelihoods + competition DATA term.
+
+    phi: (S, H, W); surface: (S, k) warm starts. Returns (DATA, DH,
+    gradPHI, surface, cov)."""
+    s, h, w = phi.shape
+    feats = surface_features(h, w, order)
+    h1 = phi >= 0.0
+
+    keys = jax.random.split(key, s)
+
+    def fit(k_, mask, warm):
+        model, dist = ransac_surface(k_, d_fit, mask, feats, 1.0,
+                                     cset, 10, model_in=warm)
+        return model, dist
+
+    surface, dist_d = jax.vmap(fit, in_axes=(0, 0, 0))(keys, h1, surface)
+
+    h1sum = jnp.maximum(jnp.sum(h1, axis=(1, 2)), 1)
+    if inlier_lt_100:
+        inl = h1 & (dist_d < 100.0)
+        cov = jnp.sum(jnp.where(inl, dist_d, 0.0), axis=(1, 2)) / jnp.maximum(
+            jnp.sum(inl, axis=(1, 2)), 1)
+    else:
+        cov = jnp.sum(jnp.where(h1, dist_d, 0.0), axis=(1, 2)) / h1sum
+    cov = jnp.maximum(cov, min_cov)
+
+    norm = 1.0 / jnp.sqrt(2.0 * np.pi * cov)  # (S,)
+    p = norm[:, None, None] * jnp.exp(-dist_d / (2.0 * cov)[:, None, None])
+
+    dh = _delta_heaviside(phi, floor=0.06)  # (:535-536)
+    grad = _grad_mag(phi)
+
+    eye = jnp.eye(s, dtype=bool)[:, :, None, None]  # (S, S, 1, 1)
+
+    def others_max(q):
+        # for each segment s: max over t != s of q[t]; empty set -> 0
+        # (MATLAB max over an empty 3rd dim leaves the zero-initialised WC)
+        tile = jnp.broadcast_to(q[None], (s, s, h, w))
+        masked = jnp.where(eye, -jnp.inf, tile)
+        out = jnp.max(masked, axis=1)
+        return jnp.where(jnp.isfinite(out), out, 0.0)
+
+    if strategy == "surface":
+        wc = others_max(p)
+    elif strategy == "greedy":
+        hnotany = ~jnp.any(h1, axis=0)
+        wc = others_max(p)
+        wc = jnp.where(hnotany[None] & (dh > 0.02), 0.0, wc)
+    else:  # 'inverse'
+        ptemp = jnp.where(h1, p, 0.0)
+        inv = norm[:, None, None] - p
+        wc = jnp.maximum(inv, others_max(ptemp))
+    data = jnp.log((p + _EPS) / (wc + _EPS))
+    return data, dh, grad, surface, cov
+
+
+@partial(jax.jit, static_argnames=())
+def _rc_cv_step(phi, data, dh, grad, tau, gamma):
+    return cv_aos_step(phi, data, dh, grad, tau, gamma)
+
+
+def _region_competition(d_levels, d_fit_levels, pyramid, order, sigma_lim,
+                        iterations, srem_thr, phi_list, strategy, key,
+                        gamma_coef, tau, inlier_lt_100, cset=0.7):
+    n_levels = max(pyramid)
+    shapes = [d_levels[i].shape for i in range(n_levels)]
+
+    # downscale the stack through the levels (:470-473)
+    phi_levels = [jnp.stack(phi_list)]
+    for i in range(1, n_levels):
+        phi_levels.append(imresize(phi_levels[i - 1], shapes[i], "bicubic"))
+
+    min_cov = float(sigma_lim)
+    surface = None
+    phi = None
+
+    for cscl in range(len(pyramid) - 1):
+        scl = pyramid[cscl] - 1
+        h, w = shapes[scl]
+        gamma = gamma_coef * float((h * w) ** 0.7)
+        phi = phi_levels[scl] if phi is None else imresize(phi, (h, w), "bicubic")
+        s = phi.shape[0]
+        if surface is None or surface.shape[0] != s:
+            surface = jnp.zeros((s, 3 if order == 1 else 6), jnp.float32)
+        data = dh = grad = None
+        recalc = True
+
+        for it in range(iterations):
+            # small-segment purge (:505-529)
+            h1sizes = np.asarray(jnp.sum(phi >= 0.0, axis=(1, 2)))
+            keep = h1sizes >= srem_thr * h * w
+            if not keep.all():
+                if keep.sum() == 0:
+                    return [], jnp.zeros((0, 3 if order == 1 else 6)), key
+                phi = phi[np.where(keep)[0]]
+                s = phi.shape[0]
+                surface = jnp.zeros((s, 3 if order == 1 else 6), jnp.float32)
+                recalc = True
+
+            if it % 2 == 0 or recalc:  # mod(iter,2) with 1-based iter (:531)
+                key, sub = jax.random.split(key)
+                data, dh, grad, surface, _ = _rc_recompute(
+                    sub, phi, d_levels[scl], d_fit_levels[scl], surface,
+                    min_cov, jnp.float32(cset), order=order, strategy=strategy,
+                    inlier_lt_100=inlier_lt_100,
+                )
+                recalc = False
+            phi = _rc_cv_step(phi, data, dh, grad, tau, gamma)
+
+    return [phi[i] for i in range(phi.shape[0])], surface, key
+
+
+# ---------------------------------------------------------------------------
+# Public drivers
+# ---------------------------------------------------------------------------
+
+
+def _build_pyramids(din, p: DispSegParams, sparse: bool):
+    d0 = jnp.asarray(din, jnp.float32)
+    if sparse:
+        d0 = nanmedfilt2(d0, 5)  # Sparse.m:63
+    else:
+        d0 = jnp.nan_to_num(d0)  # "We don't like NaNs" (:62)
+    d_levels = [d0]
+    h0, w0 = d0.shape
+    seed_pyr, comp_pyr = [1], [1]
+    min_scl = min(p.gen_scl, p.rc_scl)
+    while True:
+        prev = d_levels[-1]
+        nh = int(np.ceil(prev.shape[0] * p.scl_factor))
+        nw = int(np.ceil(prev.shape[1] * p.scl_factor))
+        if sparse:
+            nxt = nanmedfilt2(imresize(nanmedfilt2(prev, 5), (nh, nw), "bicubic"), 5)
+        else:
+            nxt = imresize(prev, (nh, nw), "bicubic")
+        d_levels.append(nxt)
+        scl = len(d_levels)
+        if nh >= h0 * p.gen_scl and nw >= w0 * p.gen_scl:
+            seed_pyr.append(scl)
+        if nh >= h0 * p.rc_scl and nw >= w0 * p.rc_scl:
+            comp_pyr.append(scl)
+        if nh < h0 * min_scl or nw < w0 * min_scl:
+            break
+    seed_pyr = seed_pyr + list(range(seed_pyr[-1], 0, -1)) + [-1]
+    comp_pyr = comp_pyr + list(range(comp_pyr[-1], 0, -1)) + [-1]
+
+    if sparse:
+        d_fit = [jnp.where(jnp.isnan(d), 1000.0, d) for d in d_levels]
+    else:
+        d_fit = d_levels
+    return d_levels, d_fit, seed_pyr, comp_pyr
+
+
+def _number_segments(phi_stack):
+    """SEG map (:190-198): overlaps -> 0, ids 1..S."""
+    if phi_stack.shape[0] == 0:
+        return jnp.zeros(phi_stack.shape[1:], jnp.int32)
+    h1 = phi_stack > 0.0
+    s = phi_stack.shape[0]
+    ids = jnp.arange(1, s + 1, dtype=jnp.int32)[:, None, None]
+    seg = jnp.sum(h1 * ids, axis=0).astype(jnp.int32)
+    h1sum = jnp.sum(h1, axis=0)
+    seg = jnp.where(h1sum >= 2, 0, seg)
+    seg = jnp.where(seg > s, s + 1, seg)
+    return seg
+
+
+def _disp_segmentation(din, sparse: bool, params=None, phi=None, aa=None,
+                       **overrides):
+    base = params or (sparse_defaults() if sparse else DispSegParams())
+    p = with_overrides(base, **overrides)
+    d_levels, d_fit, seed_pyr, comp_pyr = _build_pyramids(din, p, sparse)
+    h, w = d_levels[0].shape
+    aa0 = np.ones((h, w), np.float32) if aa is None else np.asarray(aa, np.float32)
+    cset_vect = [
+        p.ransac_min_cset
+        + (p.ransac_max_cset - p.ransac_min_cset) / p.ransac_cset_cycles * i
+        for i in range(p.ransac_cset_cycles + 1)
+    ]
+    key = jax.random.PRNGKey(p.rng_seed)
+    gamma_seed = 0.005 if sparse else 0.01
+    gamma_rc = 0.005 if sparse else 0.001
+    il100 = sparse
+
+    def gen(pyr, sigma_lim, n_seeds, aa_in, k):
+        return _generate_seeds(
+            d_levels, d_fit, pyr, p.polyorder, sigma_lim, cset_vect,
+            p.seed_iterations, aa_in, n_seeds, gamma_seed, p.tau, k,
+            p.ransac_first, p.ransac_rest, il100,
+        )
+
+    def compete(phi_list, sigma_lim, iters, k):
+        return _region_competition(
+            d_levels, d_fit, comp_pyr, p.polyorder, sigma_lim, iters,
+            p.srem_thr, phi_list, "inverse", k, gamma_rc, p.tau, il100,
+            cset=p.ransac_max_cset,
+        )
+
+    if phi is None:
+        phi_list, sparam, key = gen(seed_pyr, 0.7, p.seeds, aa0, key)
+        if p.seeds != 1 and phi_list:
+            phi_list, sparam, key = compete(phi_list, 1.5, p.rc_iterations, key)
+            if phi_list:
+                covered = np.asarray(
+                    jnp.sum(jnp.stack(phi_list) > 0, axis=0) == 0, np.float32)
+            else:
+                covered = aa0
+            new_list, _, key = gen(comp_pyr, 1.2, p.seeds, covered, key)
+            phi_list = phi_list + new_list
+            if phi_list:
+                phi_list, sparam, key = compete(phi_list, 1.5, p.rc_iterations2, key)
+    else:
+        phi_list = [jnp.asarray(phi[i], jnp.float32) for i in range(phi.shape[0])]
+        phi_list, sparam, key = compete(phi_list, 1.0, p.rc_iterations2, key)
+        covered = np.asarray(
+            jnp.sum(jnp.stack(phi_list) > 0, axis=0) == 0, np.float32
+        ) if phi_list else aa0
+        new_list, _, key = gen(comp_pyr, 1.2, 1, covered, key)
+        phi_list = phi_list + new_list
+        if phi_list:
+            phi_list, sparam, key = compete(phi_list, 2.0, p.rc_iterations2, key)
+
+    phi_stack = (jnp.stack(phi_list) if phi_list
+                 else jnp.zeros((0, h, w), jnp.float32))
+    seg = _number_segments(phi_stack)
+    sparam_arr = (jnp.asarray(sparam) if not isinstance(sparam, list)
+                  else (jnp.stack(sparam) if sparam
+                        else jnp.zeros((0, 3 if p.polyorder == 1 else 6))))
+    return phi_stack, seg, sparam_arr
+
+
+def disp_segmentation(din, params: DispSegParams | None = None, phi=None,
+                      aa=None, **overrides):
+    """Dense disparity-map segmentation (DispSegmentation.m).
+
+    din: (H, W) disparity map. phi: optional (S, H, W) warm-start level
+    sets (re-segmentation path, :147-180). aa: optional (H, W) allowed
+    area. Returns (PHI (S, H, W), SEG (H, W) int32, SParam (S, k))."""
+    return _disp_segmentation(din, False, params, phi, aa, **overrides)
+
+
+def disp_segmentation_sparse(din, params: DispSegParams | None = None,
+                             phi=None, aa=None, **overrides):
+    """Sparse (NaN-holed) disparity segmentation (DispSegmentationSparse.m)."""
+    return _disp_segmentation(din, True, params, phi, aa, **overrides)

@@ -31,7 +31,7 @@ from pde_tpu.core.resize import imresize, imresize_scale
 from pde_tpu.core.pyramid import pyramid_scales
 from pde_tpu.ops.weights import diffusion_weights_4, tensor_diffusion_weights_8
 from pde_tpu.solvers.sor import sor_pde4, sor_pde8
-from pde_tpu.solvers.tdma import alr_pde4
+from pde_tpu.solvers.krylov import pcg_pde4, pcg_pde8
 
 _EPS_D = float(np.finfo(np.float64).eps)  # MATLAB `eps`
 
@@ -94,7 +94,7 @@ def _tv4_level(iout, f, alpha, omega, outer_iter, inner_iter, solver):
         ww, wn, we, ws = diffusion_weights_4(u, eps=1e-5, combine="max", zero_borders=True)
         trace = psi + alpha * (ww + wn + we + ws)
         b = psi * f
-        solve = alr_pde4 if solver == 2 else sor_pde4
+        solve = pcg_pde4 if solver == 2 else sor_pde4
         return solve(u, trace, b, alpha * ww, alpha * wn, alpha * we, alpha * ws,
                      inner_iter, omega)
 
@@ -127,7 +127,8 @@ def _tv8_level(iout, f, alpha, omega, quantile, outer_iter, inner_iter, solver, 
         psi = 1.0 / jnp.sqrt((u - f) ** 2 + _EPS_D)
         trace = psi + alpha * (w_ + nw + n_ + ne + e_ + se + s_ + sw)
         b = psi * f
-        return sor_pde8(
+        solve = pcg_pde8 if solver == 2 else sor_pde8
+        return solve(
             u, trace, b,
             alpha * w_, alpha * nw, alpha * n_, alpha * ne,
             alpha * e_, alpha * se, alpha * s_, alpha * sw,

@@ -53,7 +53,8 @@ def _masked_min(lab, mask):
             v = jnp.where(bseg, jnp.minimum(jnp.where(aseg, av, inf), bv), bv)
             return v, aseg & bseg
 
-        v, _ = lax.associative_scan(combine, (vals, seg), axis=axis, reverse=reverse)
+        ax = axis % vals.ndim  # rev requires nonnegative dims
+        v, _ = lax.associative_scan(combine, (vals, seg), axis=ax, reverse=reverse)
         return jnp.where(mask, v, inf)
 
     for axis in (-2, -1):

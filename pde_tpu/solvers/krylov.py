@@ -1,0 +1,326 @@
+"""Line-implicit preconditioned conjugate gradients — the engine's ALR.
+
+The reference's "solver=2" is sequential alternating-line SOR
+(GS_ALR_SOR_*_2d, e.g. opticalflowSolvers.c:196-262): Thomas solves sweep
+columns west->east then rows north->south, each line seeing the lines
+already updated this sweep, over-relaxed at omega=1.9. That ordering is
+inherently serial across lines. The parallel reordering (zebra, in
+``tdma.py``) reaches the same fixed point but *loses the omega=1.9
+acceleration*: direction-alternating zebra is not consistently ordered, so
+over-relaxation buys nothing (measured: 10-30x slower error decay than the
+sequential sweep at omega=1.9).
+
+The TPU-native replacement keeps the line-implicit structure but swaps the
+SOR outer dynamics for **conjugate gradients preconditioned by one
+zebra-ADI pass** (all lines of one parity solved simultaneously — scan
+along the line axis, 128-lane batch across lines). All systems here are
+symmetric positive (semi-)definite:
+
+* flow data blocks ``[[Du, M], [M, Dv]]`` are sums of outer products of
+  derivative stacks (FlowEminHS_elin_2D_v10.m:154-158), hence PSD;
+* edge-zeroed diffusion weights are per-edge symmetric
+  (``wW[i,j] == wE[i,j-1]`` by construction, OPdiffWeights,
+  FlowEminND_llin_2D_v10.m:389-433), giving a graph Laplacian;
+* the diagonal-form solvers have ``TRACE = Psi' + alpha*sum(w)``
+  (TVdenoise4.m:87).
+
+Measured on the HS model problem: PCG matches the sequential ALR-SOR
+omega=1.9 error decay per sweep and beats it beyond ~20 iterations.
+
+NaN protocol (missing data at out-of-bounds warps): pixels with NaN data
+terms drop Du/Cu/M and relax by pure diffusion, exactly as the reference
+line solvers do (westColumn_llin4 etc., opticalflowSolvers.c:2415-2640).
+The NaN masks are folded into the (static per solve) coefficient fields,
+so the CG operator itself is branch-free.
+
+The ``iters``/``omega`` arguments mirror the reference signatures; omega
+is accepted for API parity but unused (CG has no relaxation parameter).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pde_tpu.core.grid import shift_w, shift_e, shift_n, shift_s
+from pde_tpu.solvers.tdma import thomas_solve, _edge_zero, _zero_diag_borders
+
+
+def _edge_zeroed4(ww, wn, we, ws):
+    return (
+        _edge_zero(ww, -1, "first"),
+        _edge_zero(wn, -2, "first"),
+        _edge_zero(we, -1, "last"),
+        _edge_zero(ws, -2, "last"),
+    )
+
+
+def _nbr4(x, ww, wn, we, ws):
+    return ww * shift_w(x) + wn * shift_n(x) + we * shift_e(x) + ws * shift_s(x)
+
+
+def _nbr_diag(x, wnw, wne, wse, wsw):
+    return (
+        wnw * shift_n(shift_w(x))
+        + wne * shift_n(shift_e(x))
+        + wse * shift_s(shift_e(x))
+        + wsw * shift_s(shift_w(x))
+    )
+
+
+def _dot(a, b):
+    return sum(jnp.vdot(x, y) for x, y in zip(a, b))
+
+
+def _pcg(apply_a, precond, b, x0, iters: int):
+    """CG on tuples of fields. Fixed iteration count (static shapes)."""
+
+    def axpy(alpha, xs, ys):
+        return tuple(x + alpha * y for x, y in zip(xs, ys))
+
+    r0 = tuple(bb - aa for bb, aa in zip(b, apply_a(x0)))
+    z0 = precond(r0)
+    rz0 = _dot(r0, z0)
+
+    def body(_, state):
+        x, r, p, rz = state
+        ap = apply_a(p)
+        pap = _dot(p, ap)
+        # guard exact convergence / semidefinite nullspace
+        alpha = jnp.where(pap > 0, rz / jnp.where(pap == 0, 1.0, pap), 0.0)
+        x = axpy(alpha, x, p)
+        r = axpy(-alpha, r, ap)
+        z = precond(r)
+        rz_new = _dot(r, z)
+        beta = jnp.where(rz > 0, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
+        p = axpy(beta, z, p)
+        return x, r, p, rz_new
+
+    x, _, _, _ = lax.fori_loop(0, iters, body, (x0, r0, z0, rz0))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Zebra-ADI preconditioner: one forward + one reversed pass of line solves
+# at omega=1 on the homogeneous system, from a zero initial guess.
+# ---------------------------------------------------------------------------
+
+
+def _line_sweep(z, rhs, diag, wz4, parity: int, vertical: bool, diag_flux=None):
+    """Solve all lines of one parity implicitly; others keep their value.
+
+    z: current correction field; rhs: CG residual for this field;
+    diag: full line diagonal (edge-zeroed weight sum + data diag);
+    wz4: edge-zeroed (ww, wn, we, ws); diag_flux(z): optional 8-neighbour
+    diagonal coupling added to the rhs (lagged).
+    """
+    ww, wn, we, ws = wz4
+    h, w = z.shape[-2:]
+    extra = diag_flux(z) if diag_flux is not None else 0.0
+    if vertical:
+        d = rhs + ww * shift_w(z) + we * shift_e(z) + extra
+        sol = thomas_solve(-wn, diag, -ws, d, axis=-2)
+        sel = (jnp.arange(w)[None, :] % 2) == parity
+    else:
+        d = rhs + wn * shift_n(z) + ws * shift_s(z) + extra
+        sol = thomas_solve(-ww, diag, -we, d, axis=-1)
+        sel = ((jnp.arange(h) % 2)[:, None]) == parity
+    return jnp.where(sel, sol, z)
+
+
+def _zebra_adi(rhs_fns, diags, wz4s, n: int, diag_fluxes=None):
+    """One symmetrized zebra-ADI pass over ``n`` coupled fields.
+
+    rhs_fns[k](z_tuple) -> rhs for field k given current corrections
+    (this is where the CG residual and any inter-field coupling enter);
+    diags[k]: line diagonals; wz4s[k]: edge-zeroed weights.
+    Forward order: field 0..n-1 columns (parity 0,1), then rows; the
+    reversed pass mirrors it for a symmetric preconditioner.
+    """
+    if diag_fluxes is None:
+        diag_fluxes = [None] * n
+    z = tuple(jnp.zeros_like(d) for d in diags)
+
+    def pas(z, k, parity, vertical):
+        zk = _line_sweep(z[k], rhs_fns[k](z), diags[k], wz4s[k],
+                         parity, vertical, diag_fluxes[k])
+        return z[:k] + (zk,) + z[k + 1:]
+
+    steps = [(k, p, True) for k in range(n) for p in (0, 1)]
+    steps += [(k, p, False) for k in range(n) for p in (0, 1)]
+    for k, p, vert in steps:
+        z = pas(z, k, p, vert)
+    for k, p, vert in reversed(steps):
+        z = pas(z, k, p, vert)
+    return z
+
+
+# ---------------------------------------------------------------------------
+# Flow pair (elin & llin, 4- and 8-neighbour)
+# ---------------------------------------------------------------------------
+
+
+def _flow_pcg(u, v, du0, dv0, m, cu, cv, duc, dvc, w4, w_diag, iters, *, late):
+    ww, wn, we, ws = _edge_zeroed4(*w4)
+    if w_diag is not None:
+        wnw, wne, wse, wsw = _zero_diag_borders(*w_diag)
+        wsum = ww + wn + we + ws + wnw + wne + wse + wsw
+
+        def dflux(x):
+            return _nbr_diag(x, wnw, wne, wse, wsw)
+    else:
+        wsum = ww + wn + we + ws
+        dflux = None
+
+    valid_u = ~jnp.isnan(cu)
+    valid_v = ~jnp.isnan(cv)
+    d_u = jnp.where(valid_u, jnp.nan_to_num(duc), 0.0)
+    d_v = jnp.where(valid_v, jnp.nan_to_num(dvc), 0.0)
+    # symmetrised coupling mask (Cu/Cv NaN patterns coincide in the models:
+    # both stem from the same out-of-bounds warp)
+    m_eff = jnp.where(valid_u & valid_v, jnp.nan_to_num(m), 0.0)
+
+    def base_term(f):
+        # llin base-field differences Σ w_z (f_nbr − f_c); zero for elin
+        if not late:
+            return 0.0
+        s = _nbr4(f, ww, wn, we, ws)
+        if dflux is not None:
+            s = s + _nbr_diag(f, wnw, wne, wse, wsw)
+        return s - wsum * f
+
+    b_u = base_term(u) + jnp.where(valid_u, jnp.nan_to_num(cu), 0.0)
+    b_v = base_term(v) + jnp.where(valid_v, jnp.nan_to_num(cv), 0.0)
+
+    diag_u = wsum + d_u
+    diag_v = wsum + d_v
+
+    def apply_a(x):
+        xu, xv = x
+        au = diag_u * xu - _nbr4(xu, ww, wn, we, ws) + m_eff * xv
+        av = diag_v * xv - _nbr4(xv, ww, wn, we, ws) + m_eff * xu
+        if dflux is not None:
+            au = au - dflux(xu)
+            av = av - dflux(xv)
+        return au, av
+
+    def precond(r):
+        ru, rv = r
+        return _zebra_adi(
+            (lambda z: ru - m_eff * z[1], lambda z: rv - m_eff * z[0]),
+            (diag_u, diag_v),
+            ((ww, wn, we, ws), (ww, wn, we, ws)),
+            2,
+            (dflux, dflux) if dflux is not None else None,
+        )
+
+    return _pcg(apply_a, precond, (b_u, b_v), (du0, dv0), iters)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def pcg_flow_elin4(u, v, m, cu, cv, duc, dvc, ww, wn, we, ws, iters: int, omega: float):
+    """solver=2 for the early-lin pair (drop-in for GS_ALR_SOR_elin4_2d)."""
+    del omega
+    zero = jnp.zeros_like(u)
+    return _flow_pcg(zero, zero, u, v, m, cu, cv, duc, dvc,
+                     (ww, wn, we, ws), None, iters, late=True)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def pcg_flow_llin4(u, v, du, dv, m, cu, cv, duc, dvc, ww, wn, we, ws,
+                   iters: int, omega: float):
+    """solver=2 for the late-lin increment pair (GS_ALR_SOR_llin4_2d)."""
+    del omega
+    return _flow_pcg(u, v, du, dv, m, cu, cv, duc, dvc,
+                     (ww, wn, we, ws), None, iters, late=True)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def pcg_flow_llin8(u, v, du, dv, m, cu, cv, duc, dvc,
+                   ww, wnw, wn, wne, we, wse, ws, wsw, iters: int, omega: float):
+    """solver=2 for the anisotropic 8-neighbour pair (GS_ALR_SOR_llin8_2d).
+
+    The tensor stencil's diagonal weights may be negative; the aggregate
+    operator stays symmetric (w_[p] == e_[p_west] etc.) and is PSD for the
+    quantile-regularised tensors the models build, so CG applies.
+    """
+    del omega
+    return _flow_pcg(u, v, du, dv, m, cu, cv, duc, dvc,
+                     (ww, wn, we, ws), (wnw, wne, wse, wsw), iters, late=True)
+
+
+# ---------------------------------------------------------------------------
+# Scalar disparity increment
+# ---------------------------------------------------------------------------
+
+
+def _scalar_pcg(u, du0, cu, duc, w4, iters, *, late=True, trace=None, b_in=None):
+    ww, wn, we, ws = _edge_zeroed4(*w4)
+    wsum = ww + wn + we + ws
+    if trace is None:
+        valid = ~jnp.isnan(cu)
+        d_eff = jnp.where(valid, jnp.nan_to_num(duc), 0.0)
+        diag = wsum + d_eff
+        base = (_nbr4(u, ww, wn, we, ws) - wsum * u) if late else 0.0
+        b = base + jnp.where(valid, jnp.nan_to_num(cu), 0.0)
+    else:
+        valid = ~jnp.isnan(trace)
+        diag = jnp.where(valid, jnp.nan_to_num(trace, nan=1.0), wsum)
+        b = jnp.where(valid, b_in, 0.0)
+
+    def apply_a(x):
+        (xu,) = x
+        return (diag * xu - _nbr4(xu, ww, wn, we, ws),)
+
+    def precond(r):
+        return _zebra_adi((lambda z: r[0],), (diag,), ((ww, wn, we, ws),), 1)
+
+    return _pcg(apply_a, precond, (b,), (du0,), iters)[0]
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def pcg_disp_llin4(u, du, cu, duc, ww, wn, we, ws, iters: int, omega: float):
+    """solver=2 scalar disparity increment (disparitySolvers.c:154-217)."""
+    del omega
+    return _scalar_pcg(u, du, cu, duc, (ww, wn, we, ws), iters)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def pcg_pde4(x, trace, b, ww, wn, we, ws, iters: int, omega: float):
+    """solver=2 diagonal form: TRACE*x − Σ w_z x_nbr = B (GS_ALR_SOR_4_2d).
+
+    Supports leading channel/frame dims (solved jointly; the system is
+    block-diagonal over channels).
+    """
+    del omega
+    return _scalar_pcg(None, x, None, None, (ww, wn, we, ws), iters,
+                       trace=trace, b_in=b)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def pcg_pde8(x, trace, b, ww, wnw, wn, wne, we, wse, ws, wsw,
+             iters: int, omega: float):
+    """solver=2 diagonal form, 8-neighbour tensor stencil (GS_ALR_SOR_8_2d)."""
+    del omega
+    ww, wn, we, ws = _edge_zeroed4(ww, wn, we, ws)
+    wnw, wne, wse, wsw = _zero_diag_borders(wnw, wne, wse, wsw)
+    wsum = ww + wn + we + ws + wnw + wne + wse + wsw
+    valid = ~jnp.isnan(trace)
+    diag = jnp.where(valid, jnp.nan_to_num(trace, nan=1.0), wsum)
+    b = jnp.where(valid, b, 0.0)
+
+    def dflux(z):
+        return _nbr_diag(z, wnw, wne, wse, wsw)
+
+    def apply_a(xs):
+        (xu,) = xs
+        return (diag * xu - _nbr4(xu, ww, wn, we, ws) - dflux(xu),)
+
+    def precond(r):
+        return _zebra_adi((lambda z: r[0],), (diag,), ((ww, wn, we, ws),), 1,
+                          (dflux,))
+
+    return _pcg(apply_a, precond, (b,), (x,), iters)[0]

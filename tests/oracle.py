@@ -160,3 +160,225 @@ def dense_solve_elin4(m, cu, cv, du, dv, ww, wn, we, ws):
             a[n + p, n + q] -= 1.0
     sol = np.linalg.solve(a, rhs)
     return sol[:n].reshape(h, w), sol[n:].reshape(h, w)
+
+
+# ---------------------------------------------------------------------------
+# Full-pipeline oracles (literal reference ports over tiny inputs)
+# ---------------------------------------------------------------------------
+
+
+def _fspecial_gaussian(shape, sigma):
+    """MATLAB fspecial('gaussian', shape, sigma)."""
+    m, n = [(s - 1) / 2 for s in shape]
+    y, x = np.ogrid[-m:m + 1, -n:n + 1]
+    h = np.exp(-(x * x + y * y) / (2 * sigma * sigma))
+    return h / h.sum()
+
+
+def _imfilter_rep(x, k):
+    import scipy.ndimage as ndi
+
+    return ndi.correlate(x, k, mode="nearest")
+
+
+def _imresize_np(x, out_shape, kernel="triangle"):
+    from pde_tpu.core.resize import resize_matrix
+
+    r = resize_matrix(x.shape[0], out_shape[0], True, kernel).astype(np.float64)
+    c = resize_matrix(x.shape[1], out_shape[1], True, kernel).astype(np.float64)
+    return r @ x @ c.T
+
+
+def _tv_diff_weights(d):
+    """TVdenoise4.m DiffWeights (:116-153), single channel."""
+    import scipy.ndimage as ndi
+
+    cd = np.array([0.25, 0.0, -0.25])
+    dver = ndi.correlate1d(d, cd, axis=0, mode="nearest")
+    dhor = ndi.correlate1d(d, cd, axis=1, mode="nearest")
+
+    def cs(a, sh):
+        return np.roll(a, sh, axis=(0, 1))
+
+    ww = (cs(d, (0, 1)) - d) ** 2 + (dver + cs(dver, (0, 1))) ** 2
+    we = (cs(d, (0, -1)) - d) ** 2 + (dver + cs(dver, (0, -1))) ** 2
+    wn = (cs(d, (1, 0)) - d) ** 2 + (dhor + cs(dhor, (1, 0))) ** 2
+    ws = (cs(d, (-1, 0)) - d) ** 2 + (dhor + cs(dhor, (-1, 0))) ** 2
+    ww, wn, we, ws = [1.0 / np.sqrt(w + 1e-5) for w in (ww, wn, we, ws)]
+    ww[:, 0] = 0
+    we[:, -1] = 0
+    wn[0, :] = 0
+    ws[-1, :] = 0
+    return ww, wn, we, ws
+
+
+def tv_denoise4_oracle(img, alpha=5.0, omega=1.75, outer=10, inner=5,
+                       scl=0.5, scl_factor=0.75):
+    """Literal port of TVdenoise4.m (pyramid :50-78, loop :80-111)."""
+    img = img.astype(np.float64)
+    g = _fspecial_gaussian((7, 7), 2.0)
+    ds_r = int(np.ceil(img.shape[0] * scl))
+    ds_c = int(np.ceil(img.shape[1] * scl))
+    levels = [img]
+    raw = img
+    while True:
+        nxt = _imresize_np(raw, (int(np.ceil(raw.shape[0] * scl_factor)),
+                                 int(np.ceil(raw.shape[1] * scl_factor))))
+        levels[-1] = _imfilter_rep(levels[-1], g)
+        levels.append(nxt)
+        raw = nxt
+        if nxt.shape[0] <= ds_r or nxt.shape[1] <= ds_c:
+            levels[-1] = _imfilter_rep(levels[-1], g)
+            break
+    iout = levels[-1]
+    eps = np.finfo(np.float64).eps
+    for lvl in range(len(levels) - 1, -1, -1):
+        f = levels[lvl]
+        for _ in range(outer + 1):
+            psi = 1.0 / np.sqrt((iout - f) ** 2 + eps)
+            ww, wn, we, ws = _tv_diff_weights(iout)
+            trace = psi + alpha * (ww + wn + we + ws)
+            b = psi * f
+            iout = gs_sor_pde4(iout.astype(np.float32),
+                               trace.astype(np.float32), b.astype(np.float32),
+                               alpha * ww, alpha * wn, alpha * we, alpha * ws,
+                               inner, omega).astype(np.float64)
+        if lvl > 0:
+            iout = _imresize_np(iout, levels[lvl - 1].shape)
+    return iout.astype(np.float32)
+
+
+def seq_alr_elin4(u, v, m, cu, cv, du, dv, ww, wn, we, ws, iters, omega):
+    """Literal sequential ALR solver=2 (GS_ALR_SOR_elin4_2d,
+    opticalflowSolvers.c:196-262 + line routines :1763-2230): line Thomas
+    solves with one-sided edge stencils, sweeping U cols W->E, V cols,
+    V rows N->S, U rows, SOR-blended with omega. Vectorised per line via
+    scipy solve_banded (fast enough for real-image goldens)."""
+    from scipy.linalg import solve_banded
+
+    u = u.astype(np.float64).copy()
+    v = v.astype(np.float64).copy()
+    h, w = u.shape
+    wwz = ww.copy(); wwz[:, 0] = 0
+    wez = we.copy(); wez[:, -1] = 0
+    wnz = wn.copy(); wnz[0, :] = 0
+    wsz = ws.copy(); wsz[-1, :] = 0
+
+    def col_solve(f, other, c_, d_, j):
+        b = wnz[:, j] + wsz[:, j] + wwz[:, j] + wez[:, j]
+        rhs = np.zeros(h)
+        if j > 0:
+            rhs += wwz[:, j] * f[:, j - 1]
+        if j < w - 1:
+            rhs += wez[:, j] * f[:, j + 1]
+        valid = ~np.isnan(c_[:, j])
+        b = b + np.where(valid, d_[:, j], 0)
+        rhs = rhs + np.where(valid, c_[:, j] - m[:, j] * other[:, j], 0)
+        ab = np.zeros((3, h))
+        ab[0, 1:] = -wsz[:-1, j]
+        ab[1] = b
+        ab[2, :-1] = -wnz[1:, j]
+        x = solve_banded((1, 1), ab, rhs)
+        f[:, j] = omega * x + (1 - omega) * f[:, j]
+
+    def row_solve(f, other, c_, d_, i):
+        b = wnz[i, :] + wsz[i, :] + wwz[i, :] + wez[i, :]
+        rhs = np.zeros(w)
+        if i > 0:
+            rhs += wnz[i, :] * f[i - 1, :]
+        if i < h - 1:
+            rhs += wsz[i, :] * f[i + 1, :]
+        valid = ~np.isnan(c_[i, :])
+        b = b + np.where(valid, d_[i, :], 0)
+        rhs = rhs + np.where(valid, c_[i, :] - m[i, :] * other[i, :], 0)
+        ab = np.zeros((3, w))
+        ab[0, 1:] = -wez[i, :-1]
+        ab[1] = b
+        ab[2, :-1] = -wwz[i, 1:]
+        x = solve_banded((1, 1), ab, rhs)
+        f[i, :] = omega * x + (1 - omega) * f[i, :]
+
+    for _ in range(iters):
+        for j in range(w):
+            col_solve(u, v, cu, du, j)
+        for j in range(w):
+            col_solve(v, u, cv, dv, j)
+        for i in range(h):
+            row_solve(v, u, cv, dv, i)
+        for i in range(h):
+            row_solve(u, v, cu, du, i)
+    return u.astype(np.float32), v.astype(np.float32)
+
+
+_HS_PRE = np.array([0.037659, 0.249724, 0.439911, 0.249724, 0.037659])
+_HS_DX = np.array([0.104550, 0.292315, 0.0, -0.292315, -0.104550])
+_HS_DXX = np.array([0.232905, 0.002668, -0.471147, 0.002668, 0.232905])
+
+
+def _conv1(x, k, axis):
+    """imfilter(..., 'replicate', 'conv') along one axis."""
+    import scipy.ndimage as ndi
+
+    return ndi.convolve1d(x, k, axis=axis, mode="nearest")
+
+
+def flow_hs_oracle(it0, it1, alpha=0.2, omega=1.9, iters=20, b1=0.25, b2=0.75,
+                   scl_factor=0.75, solver=1):
+    """Literal port of FlowEminHS_elin_2D_v10.m (single channel):
+    pyramid :88-110, derivative stack :133-149, tensors :154-158,
+    elin4 solve :169-183, medfilt+bicubic upscale :188-191."""
+    import scipy.ndimage as ndi
+
+    it0 = it0.astype(np.float64) / 255.0
+    it1 = it1.astype(np.float64) / 255.0
+    g = _fspecial_gaussian((5, 5), 1.25)
+    i0, i1 = [it0], [it1]
+    while True:
+        n0 = _imresize_np(i0[-1], (int(np.ceil(i0[-1].shape[0] * scl_factor)),
+                                   int(np.ceil(i0[-1].shape[1] * scl_factor))))
+        n1 = _imresize_np(i1[-1], n0.shape)
+        i0[-1] = _imfilter_rep(i0[-1], g)
+        i1[-1] = _imfilter_rep(i1[-1], g)
+        i0.append(n0)
+        i1.append(n1)
+        if n0.shape[0] <= 20 or n0.shape[1] <= 20:
+            i0[-1] = _imfilter_rep(i0[-1], g)
+            i1[-1] = _imfilter_rep(i1[-1], g)
+            break
+    u = v = None
+    for scl in range(len(i0) - 1, -1, -1):
+        t0, t1 = i0[scl], i1[scl]
+        h, w = t0.shape
+        wgt = alpha * np.ones((h, w))
+        if u is None:
+            u = np.zeros((h, w))
+            v = np.zeros((h, w))
+        ist = (t0 + t1) * 0.55
+        idt = t0 - t1
+        idx = _conv1(_conv1(ist, _HS_PRE, 0), _HS_DX, 1)
+        idy = _conv1(_conv1(ist, _HS_PRE, 1), _HS_DX, 0)
+        idxx = _conv1(_conv1(ist, _HS_PRE, 0), _HS_DXX, 1)
+        idyy = _conv1(_conv1(ist, _HS_PRE, 1), _HS_DXX, 0)
+        idxy = _conv1(_conv1(ist, _HS_DX, 1), _HS_DX, 0)
+        idxt = _conv1(_conv1(idt, _HS_PRE, 0), _HS_DX, 1)
+        idyt = _conv1(_conv1(idt, _HS_PRE, 1), _HS_DX, 0)
+        m = b1 * idy * idx + b2 * idxy * (idxx + idyy)
+        cu = b1 * idt * idx + b2 * (idxt * idxx + idyt * idxy)
+        cv = b1 * idt * idy + b2 * (idxt * idxy + idyt * idyy)
+        du = b1 * idx * idx + b2 * (idxx * idxx + idxy * idxy)
+        dv = b1 * idy * idy + b2 * (idxy * idxy + idyy * idyy)
+        if solver == 1:
+            u, v = gs_sor_elin4(u.astype(np.float32), v.astype(np.float32),
+                                m, cu, cv, du, dv, wgt, wgt, wgt, wgt, iters, omega)
+        else:
+            u, v = seq_alr_elin4(u, v, m, cu, cv, du, dv,
+                                 wgt, wgt, wgt, wgt, iters, omega)
+        u = u.astype(np.float64)
+        v = v.astype(np.float64)
+        if scl > 0:
+            # imresize with no Method defaults to bicubic (HS driver :188-191)
+            u = _imresize_np(ndi.median_filter(u / scl_factor, size=3, mode="reflect"),
+                             i0[scl - 1].shape, kernel="cubic")
+            v = _imresize_np(ndi.median_filter(v / scl_factor, size=3, mode="reflect"),
+                             i0[scl - 1].shape, kernel="cubic")
+    return u.astype(np.float32), v.astype(np.float32)

@@ -1,0 +1,105 @@
+"""Segmentation pipeline: RANSAC surfaces, components, end-to-end seeds +
+competition on synthetic piecewise-planar disparity maps."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pde_tpu.ops.ransac import ransac_surface, surface_features, surface_eval
+from pde_tpu.ops.components import biggest_component_mask, label_components
+from pde_tpu.models.segmentation import (
+    disp_segmentation,
+    disp_segmentation_sparse,
+)
+
+
+def _two_planes(h=40, w=50, noise=0.02, rng=None):
+    """Left half: plane 0.1x+0.05y+2; right half: plane -0.05x+0.02y+8."""
+    rng = rng or np.random.default_rng(0)
+    y, x = np.mgrid[1:h + 1, 1:w + 1].astype(np.float32)
+    d = np.where(x <= w // 2,
+                 0.1 * x + 0.05 * y + 2.0,
+                 -0.05 * x + 0.02 * y + 8.0)
+    return (d + noise * rng.standard_normal((h, w))).astype(np.float32)
+
+
+def test_ransac_recovers_plane(rng):
+    h, w = 30, 40
+    feats = surface_features(h, w, 1)
+    true = jnp.asarray([0.2, -0.1, 3.0])
+    data = surface_eval(feats, true) + 0.01 * jnp.asarray(
+        rng.standard_normal((h, w)), jnp.float32)
+    mask = jnp.ones((h, w), bool)
+    model, err = ransac_surface(jax.random.PRNGKey(0), data, mask, feats,
+                                0.7, 0.5, 200)
+    np.testing.assert_allclose(np.asarray(model), np.asarray(true), atol=0.05)
+    assert np.asarray(err).mean() < 0.01
+
+
+def test_ransac_ignores_outlier_region(rng):
+    """Fit on a mask covering two planes: the majority plane must win."""
+    h, w = 30, 40
+    feats = surface_features(h, w, 1)
+    d = jnp.asarray(_two_planes(h, w, rng=rng))
+    mask = jnp.ones((h, w), bool).at[:, w // 2:].set(False)
+    mask = mask.at[:, :5].set(True)  # mostly-left mask
+    model, _ = ransac_surface(jax.random.PRNGKey(1), d, mask, feats,
+                              0.7, 0.3, 500)
+    m = np.asarray(model)
+    assert abs(m[0] - 0.1) < 0.05 and abs(m[2] - 2.0) < 1.0
+
+
+def test_biggest_component():
+    mask = np.zeros((20, 20), bool)
+    mask[2:6, 2:6] = True        # 16 px
+    mask[10:18, 10:18] = True    # 64 px
+    out = np.asarray(biggest_component_mask(jnp.asarray(mask)))
+    assert out[12, 12] and not out[3, 3]
+    labs = np.asarray(label_components(jnp.asarray(mask)))
+    assert labs[3, 3] != labs[12, 12] and labs[3, 3] > 0
+
+
+def test_disp_segmentation_two_planes(rng):
+    d = _two_planes(40, 50, rng=rng)
+    phi, seg, sparam = disp_segmentation(
+        d, seeds=3, seed_iterations=6, rc_iterations=6, rc_iterations2=4,
+        ransac_first=200, ransac_rest=50,
+    )
+    phi, seg = np.asarray(phi), np.asarray(seg)
+    assert phi.shape[0] >= 1
+    assert np.isfinite(phi).all()
+    # segments cover a reasonable area
+    cover = (phi > 0).any(axis=0)
+    assert cover.mean() > 0.3
+    # the fitted surfaces recover the two generating planes: every true
+    # plane is matched by some segment's model (at these reduced iteration
+    # counts the level sets may still overlap, but the surfaces are sharp)
+    models = np.asarray(sparam)
+    true_planes = np.array([[0.1, 0.05, 2.0], [-0.05, 0.02, 8.0]])
+    for tp in true_planes[: models.shape[0]]:
+        dists = np.abs(models - tp).max(axis=1)
+        assert dists.min() < 0.5, (models, tp)
+
+
+def test_disp_segmentation_sparse_handles_nans(rng):
+    d = _two_planes(36, 44, rng=rng).astype(np.float32)
+    holes = rng.random(d.shape) < 0.15
+    d[holes] = np.nan
+    phi, seg, sparam = disp_segmentation_sparse(
+        d, seeds=2, seed_iterations=5, rc_iterations=4, rc_iterations2=3,
+        ransac_first=200, ransac_rest=50,
+    )
+    assert np.isfinite(np.asarray(phi)).all()
+    assert np.asarray(seg).shape == d.shape
+
+
+def test_disp_segmentation_warm_start(rng):
+    """The re-segmentation path (param.PHI input, DispSegmentation.m:147-180)."""
+    d = _two_planes(32, 40, rng=rng)
+    phi0 = -np.ones((1, 32, 40), np.float32)
+    phi0[0, 4:28, 4:18] = 1.0
+    phi, seg, sparam = disp_segmentation(
+        d, phi=jnp.asarray(phi0), seed_iterations=4, rc_iterations2=3,
+        ransac_first=100, ransac_rest=50,
+    )
+    assert np.isfinite(np.asarray(phi)).all()
