@@ -67,6 +67,10 @@ def _stopping_function(img, lam):
         # Y(round(0.7*numel)) of the sorted values, 1-based (GAC_v10a.m:71-74)
         flat = jnp.sort(igrad.ravel())
         lam = flat[jnp.clip(jnp.round(0.7 * flat.shape[0]).astype(jnp.int32) - 1, 0, None)]
+        # robustness beyond the reference: a mostly-flat image puts the
+        # 0.7-quantile at 0 and the reference's g = 1/(1+Igrad/0) NaNs out;
+        # floor lambda so flat regions get g=1 (no edge, free propagation)
+        lam = jnp.maximum(lam, _EPS_D)
     return 1.0 / (1.0 + igrad / lam)
 
 

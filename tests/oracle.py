@@ -382,3 +382,282 @@ def flow_hs_oracle(it0, it1, alpha=0.2, omega=1.9, iters=20, b1=0.25, b2=0.75,
             v = _imresize_np(ndi.median_filter(v / scl_factor, size=3, mode="reflect"),
                              i0[scl - 1].shape, kernel="cubic")
     return u.astype(np.float32), v.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# FlowEminND_llin_2D_v10 oracle (full warping pipeline)
+# ---------------------------------------------------------------------------
+
+
+def _bilin_interp_nan(img, x, y):
+    """BilinInterp_2d semantics (imageInterpolation.c:44-140): bilinear at
+    1-based (x, y); out-of-domain -> NaN; corner fetches edge-clamped."""
+    h, w = img.shape
+    oob = (x < 1) | (x > w) | (y < 1) | (y > h)
+    x0 = np.floor(x).astype(int)
+    y0 = np.floor(y).astype(int)
+    fx = x - x0
+    fy = y - y0
+    x0c = np.clip(x0 - 1, 0, w - 1)
+    x1c = np.clip(x0, 0, w - 1)
+    y0c = np.clip(y0 - 1, 0, h - 1)
+    y1c = np.clip(y0, 0, h - 1)
+    v00 = img[y0c, x0c]
+    v01 = img[y0c, x1c]
+    v10 = img[y1c, x0c]
+    v11 = img[y1c, x1c]
+    out = (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
+           + v10 * (1 - fx) * fy + v11 * fx * fy)
+    return np.where(oob, np.nan, out)
+
+
+_SM5 = np.array([0.037659, 0.249724, 0.439911, 0.249724, 0.037659])
+_FD5 = np.array([-0.104550, -0.292315, 0.0, 0.292315, 0.104550])
+_SD5 = np.array([0.232905, 0.002668, -0.471147, 0.002668, 0.232905])
+
+
+def _corr1(x, k, axis):
+    import scipy.ndimage as ndi
+
+    return ndi.correlate1d(x, k, axis=axis, mode="nearest")
+
+
+def _fst5(it0, it1w):
+    idt = 0.5 * (it0 - it1w)
+    idx = _corr1(_corr1(it1w, _SM5, 0), _FD5, 1)
+    idy = _corr1(_corr1(it1w, _SM5, 1), _FD5, 0)
+    return idt, idx, idy
+
+
+def _snd5(it0, it1w):
+    def dx(i):
+        return _corr1(_corr1(i, _SM5, 0), _FD5, 1)
+
+    def dy(i):
+        return _corr1(_corr1(i, _SM5, 1), _FD5, 0)
+
+    idxt = 0.5 * (dx(it0) - dx(it1w))
+    idyt = 0.5 * (dy(it0) - dy(it1w))
+    idxx = _corr1(_corr1(it1w, _SM5, 0), _SD5, 1)
+    idyy = _corr1(_corr1(it1w, _SM5, 1), _SD5, 0)
+    idxy = _corr1(_corr1(it1w, _FD5, 1), _FD5, 0)
+    return idxt, idyt, idxx, idyy, idxy
+
+
+def _rgb2grad_np(chans):
+    """Driver-local rgb2grad (FlowEminND:374-384): [1 0 -1] correlations."""
+    odx = np.array([1.0, 0.0, -1.0])
+    out = []
+    for c in chans:
+        out.append(_corr1(c, odx, 1))
+        out.append(_corr1(c, odx, 0))
+    return out
+
+
+def _op_diff_weights(u, v):
+    """OPdiffWeights (FlowEminND:389-433), circshift semantics."""
+    cd = np.array([0.25, 0.0, -0.25])
+    uver = _corr1(u, cd, 0)
+    vver = _corr1(v, cd, 0)
+    uhor = _corr1(u, cd, 1)
+    vhor = _corr1(v, cd, 1)
+
+    def cs(a, sh):
+        return np.roll(a, sh, axis=(0, 1))
+
+    ww = (cs(u, (0, 1)) - u) ** 2 + (uver + cs(uver, (0, 1))) ** 2 \
+        + (cs(v, (0, 1)) - v) ** 2 + (vver + cs(vver, (0, 1))) ** 2
+    we = (cs(u, (0, -1)) - u) ** 2 + (uver + cs(uver, (0, -1))) ** 2 \
+        + (cs(v, (0, -1)) - v) ** 2 + (vver + cs(vver, (0, -1))) ** 2
+    wn = (cs(u, (1, 0)) - u) ** 2 + (uhor + cs(uhor, (1, 0))) ** 2 \
+        + (cs(v, (1, 0)) - v) ** 2 + (vhor + cs(vhor, (1, 0))) ** 2
+    ws = (cs(u, (-1, 0)) - u) ** 2 + (uhor + cs(uhor, (-1, 0))) ** 2 \
+        + (cs(v, (-1, 0)) - v) ** 2 + (vhor + cs(vhor, (-1, 0))) ** 2
+    return tuple(1.0 / np.sqrt(w + 1e-5) for w in (ww, wn, we, ws))
+
+
+def seq_alr_llin4(u, v, du, dv, m, cu, cv, duc, dvc, ww, wn, we, ws, iters, omega):
+    """Sequential ALR for the late-lin increment pair (GS_ALR_SOR_llin4_2d
+    + westColumn_llin4 etc., opticalflowSolvers.c:690,2415-2640)."""
+    from scipy.linalg import solve_banded
+
+    du = du.astype(np.float64).copy()
+    dv = dv.astype(np.float64).copy()
+    h, w = du.shape
+    wwz = ww.copy(); wwz[:, 0] = 0
+    wez = we.copy(); wez[:, -1] = 0
+    wnz = wn.copy(); wnz[0, :] = 0
+    wsz = ws.copy(); wsz[-1, :] = 0
+
+    def col_solve(df, f_base, other_df, other_base, c_, d_, j, for_u):
+        b = wnz[:, j] + wsz[:, j] + wwz[:, j] + wez[:, j]
+        rhs = np.zeros(h)
+        # perpendicular (W/E) lagged terms: w*(df_nbr + f_nbr - f_c)
+        if j > 0:
+            rhs += wwz[:, j] * (df[:, j - 1] + f_base[:, j - 1] - f_base[:, j])
+        if j < w - 1:
+            rhs += wez[:, j] * (df[:, j + 1] + f_base[:, j + 1] - f_base[:, j])
+        # along-line base differences w*(f_nbr - f_c)
+        along = np.zeros(h)
+        along[1:] += wnz[1:, j] * (f_base[:-1, j] - f_base[1:, j])
+        along[:-1] += wsz[:-1, j] * (f_base[1:, j] - f_base[:-1, j])
+        rhs += along
+        valid = ~np.isnan(c_[:, j])
+        b = b + np.where(valid, np.nan_to_num(d_[:, j]), 0)
+        rhs = rhs + np.where(valid,
+                             np.nan_to_num(c_[:, j]) - np.nan_to_num(m[:, j]) * other_df[:, j], 0)
+        ab = np.zeros((3, h)); ab[0, 1:] = -wsz[:-1, j]; ab[1] = b; ab[2, :-1] = -wnz[1:, j]
+        x = solve_banded((1, 1), ab, rhs)
+        df[:, j] = omega * x + (1 - omega) * df[:, j]
+
+    def row_solve(df, f_base, other_df, c_, d_, i):
+        b = wnz[i, :] + wsz[i, :] + wwz[i, :] + wez[i, :]
+        rhs = np.zeros(w)
+        if i > 0:
+            rhs += wnz[i, :] * (df[i - 1, :] + f_base[i - 1, :] - f_base[i, :])
+        if i < h - 1:
+            rhs += wsz[i, :] * (df[i + 1, :] + f_base[i + 1, :] - f_base[i, :])
+        along = np.zeros(w)
+        along[1:] += wwz[i, 1:] * (f_base[i, :-1] - f_base[i, 1:])
+        along[:-1] += wez[i, :-1] * (f_base[i, 1:] - f_base[i, :-1])
+        rhs += along
+        valid = ~np.isnan(c_[i, :])
+        b = b + np.where(valid, np.nan_to_num(d_[i, :]), 0)
+        rhs = rhs + np.where(valid,
+                             np.nan_to_num(c_[i, :]) - np.nan_to_num(m[i, :]) * other_df[i, :], 0)
+        ab = np.zeros((3, w)); ab[0, 1:] = -wez[i, :-1]; ab[1] = b; ab[2, :-1] = -wwz[i, 1:]
+        x = solve_banded((1, 1), ab, rhs)
+        df[i, :] = omega * x + (1 - omega) * df[i, :]
+
+    for _ in range(iters):
+        for j in range(w):
+            col_solve(du, u, dv, v, cu, duc, j, True)
+        for j in range(w):
+            col_solve(dv, v, du, u, cv, dvc, j, False)
+        for i in range(h):
+            row_solve(dv, v, du, cv, dvc, i)
+        for i in range(h):
+            row_solve(du, u, dv, cu, duc, i)
+    return du.astype(np.float32), dv.astype(np.float32)
+
+
+def flow_nd_oracle(it0, it1, fst_term="grad", snd_term="gradmag",
+                   alpha=0.0420, omega=1.9, first_loop=4, second_loop=4,
+                   iters=4, b1=1.4843, b2=0.2915, scl_factor=0.75, solver=2):
+    """Literal port of FlowEminND_llin_2D_v10.m (no spatial prior).
+
+    it0/it1: (H, W) or (C, H, W) in [0, 255]. Returns (U, V)."""
+    import scipy.ndimage as ndi
+
+    it0 = np.asarray(it0, np.float64) / 255.0
+    it1 = np.asarray(it1, np.float64) / 255.0
+    if it0.ndim == 2:
+        it0, it1 = it0[None], it1[None]
+    g = _fspecial_gaussian((5, 5), 1.25)
+
+    def smooth(chans):
+        return [_imfilter_rep(c, g) for c in chans]
+
+    lv0 = [list(it0)]
+    lv1 = [list(it1)]
+    while True:
+        nh = int(np.ceil(lv0[-1][0].shape[0] * scl_factor))
+        nw = int(np.ceil(lv0[-1][0].shape[1] * scl_factor))
+        n0 = [_imresize_np(c, (nh, nw)) for c in lv0[-1]]
+        n1 = [_imresize_np(c, (nh, nw)) for c in lv1[-1]]
+        lv0[-1] = smooth(lv0[-1])
+        lv1[-1] = smooth(lv1[-1])
+        lv0.append(n0)
+        lv1.append(n1)
+        if nh <= 20 or nw <= 20:
+            lv0[-1] = smooth(lv0[-1])
+            lv1[-1] = smooth(lv1[-1])
+            break
+
+    def fst_imgs(chans):
+        return _rgb2grad_np(chans) if fst_term == "grad" else chans
+
+    def snd_imgs(chans):
+        return None if snd_term == "none" else chans
+
+    u = v = None
+    n = len(lv0)
+    for scl in range(n - 1, -1, -1):
+        i1t0 = fst_imgs(lv0[scl])
+        i1t1 = fst_imgs(lv1[scl])
+        i2t0 = snd_imgs(lv0[scl])
+        i2t1 = snd_imgs(lv1[scl])
+        h, w = i1t0[0].shape
+        if u is None:
+            u = np.zeros((h, w))
+            v = np.zeros((h, w))
+        yy, xx = np.mgrid[1:h + 1, 1:w + 1].astype(np.float64)
+        for _first in range(first_loop):
+            i1t1w = [_bilin_interp_nan(c, xx + u, yy + v) for c in i1t1]
+            t1 = [_fst5(a, b) for a, b in zip(i1t0, i1t1w)]
+            if i2t1 is not None:
+                i2t1w = [_bilin_interp_nan(c, xx + u, yy + v) for c in i2t1]
+                if snd_term == "gradmag":
+                    t2 = [_snd5(a, b) for a, b in zip(i2t0, i2t1w)]
+                else:
+                    t2 = [_fst5(a, b) for a, b in zip(i2t0, i2t1w)]
+            du = np.zeros((h, w))
+            dv = np.zeros((h, w))
+            for _second in range(second_loop):
+                parts_m, parts_cu, parts_cv, parts_du, parts_dv = [], [], [], [], []
+                for (idt, idx, idy) in t1:
+                    opn = (idt - idx * du - idy * dv) ** 2
+                    gd1 = b1 / (alpha * np.sqrt(opn + 1e-5))
+                    parts_m.append(idy * idx * gd1)
+                    parts_cu.append(idt * idx * gd1)
+                    parts_cv.append(idt * idy * gd1)
+                    parts_du.append(idx * idx * gd1)
+                    parts_dv.append(idy * idy * gd1)
+                if i2t1 is not None:
+                    for tt in t2:
+                        if snd_term == "gradmag":
+                            idxt, idyt, idxx, idyy, idxy = tt
+                            opn = (idxt - idxx * du - idxy * dv) ** 2 \
+                                + (idyt - idxy * du - idyy * dv) ** 2
+                            gd2 = b2 / (alpha * np.sqrt(opn + 1e-5))
+                            parts_m.append(idxy * (idxx + idyy) * gd2)
+                            parts_cu.append((idxt * idxx + idyt * idxy) * gd2)
+                            parts_cv.append((idxt * idxy + idyt * idyy) * gd2)
+                            parts_du.append((idxx * idxx + idxy * idxy) * gd2)
+                            parts_dv.append((idxy * idxy + idyy * idyy) * gd2)
+                        else:
+                            idt, idx, idy = tt
+                            opn = (idt - idx * du - idy * dv) ** 2
+                            gd2 = b2 / (alpha * np.sqrt(opn + 1e-5))
+                            parts_m.append(idy * idx * gd2)
+                            parts_cu.append(idt * idx * gd2)
+                            parts_cv.append(idt * idy * gd2)
+                            parts_du.append(idx * idx * gd2)
+                            parts_dv.append(idy * idy * gd2)
+
+                def nsum(parts):
+                    return np.nansum(np.stack(parts), axis=0)
+
+                m_gd = nsum(parts_m)
+                cu_gd = nsum(parts_cu)
+                cv_gd = nsum(parts_cv)
+                du_gd = nsum(parts_du)
+                dv_gd = nsum(parts_dv)
+                ww, wn, we, ws = _op_diff_weights(u + du, v + dv)
+                if solver == 2:
+                    du, dv = seq_alr_llin4(u, v, du, dv, m_gd, cu_gd, cv_gd,
+                                           du_gd, dv_gd, ww, wn, we, ws,
+                                           iters, omega)
+                else:
+                    du, dv = gs_sor_llin4(u, v, du, dv, m_gd, cu_gd, cv_gd,
+                                          du_gd, dv_gd, ww, wn, we, ws,
+                                          iters, omega)
+                du = du.astype(np.float64)
+                dv = dv.astype(np.float64)
+            u = ndi.median_filter(u + du, size=3, mode="reflect")
+            v = ndi.median_filter(v + dv, size=3, mode="reflect")
+        if scl > 0:
+            nh, nw = lv0[scl - 1][0].shape
+            u = _imresize_np(u / scl_factor, (nh, nw))
+            v = _imresize_np(v / scl_factor, (nh, nw))
+    return u.astype(np.float32), v.astype(np.float32)

@@ -129,3 +129,74 @@ def test_disparity_recovers_shift(rng):
         u = np.asarray(u)
         assert np.isfinite(u).all()
         assert abs(np.median(u[inner]) - 2.0) < 0.8, f"solver {solver}"
+
+
+def test_flow_ad_recovers_translation(rng):
+    """8-neighbour anisotropic-tensor flow (FlowEminAD_llin_2D_v10.m)."""
+    from pde_tpu.models.flow_ad import flow_ad
+
+    it0, it1 = _shifted_pair(rng, 48, 56, dx=1.0)
+    inner = np.s_[8:-8, 8:-8]
+    for solver in (1, 2):
+        u, v = flow_ad(it0, it1, "grad", "none", solver=solver)
+        u, v = np.asarray(u), np.asarray(v)
+        assert np.isfinite(u).all()
+        assert abs(np.median(u[inner]) - 1.0) < 0.45, f"solver {solver}"
+        assert abs(np.median(v[inner])) < 0.3, f"solver {solver}"
+
+
+def test_flow_fmg_recovers_translation(rng):
+    """FAS full-multigrid early-lin flow (FlowEminNDFASFMG_elin_2D_v10.m).
+    Multigrid accelerates the diffusion-dominated solve that plain HS needs
+    ~400 sweeps for; at default counts the FMG flow must reach the shift."""
+    from pde_tpu.models.flow_fmg import flow_fmg
+
+    it0, it1 = _shifted_pair(rng, 64, 64, dx=1.0)
+    u, v = flow_fmg(it0, it1)
+    u, v = np.asarray(u), np.asarray(v)
+    inner = np.s_[10:-10, 10:-10]
+    assert np.isfinite(u).all() and np.isfinite(v).all()
+    assert abs(np.median(u[inner])) > 0.4
+    assert abs(np.median(v[inner])) < 0.3
+
+
+def test_disparity_sym_recovers_shift(rng):
+    """Symmetric stereo pair: both fields should see ~the same |shift|
+    with opposite signs (left->right vs right->left warping)."""
+    from pde_tpu.models.disparity_sym import disparity_sym
+
+    il, ir = _shifted_pair(rng, 40, 48, dx=2.0)
+    u0, u1 = disparity_sym(il, ir, firstLoop=3, secondLoop=4, iter=4)
+    u0, u1 = np.asarray(u0), np.asarray(u1)
+    inner = np.s_[8:-8, 8:-8]
+    assert np.isfinite(u0).all() and np.isfinite(u1).all()
+    m0, m1 = np.median(u0[inner]), np.median(u1[inner])
+    assert abs(m0 - 2.0) < 0.9, m0
+    assert abs(m1 + 2.0) < 0.9, m1
+
+
+def test_gac_shrinks_to_object(rng):
+    """A contour started outside a bright disc should move toward it and
+    stay a valid signed-distance-like function."""
+    from pde_tpu.models.gac import gac_a, gac_b
+
+    import scipy.ndimage as ndi
+
+    h, w = 48, 48
+    yy, xx = np.mgrid[:h, :w]
+    # textured background so the auto-lambda quantile is positive, plus a
+    # strong disc edge for the contour to lock onto
+    img = 20.0 * rng.random((h, w)).astype(np.float32)
+    disc = (xx - 24) ** 2 + (yy - 24) ** 2 < 8**2
+    img[disc] += 200.0
+    img = ndi.gaussian_filter(img, 1.0)
+    phi0 = 18.0 - np.sqrt((xx - 24.0) ** 2 + (yy - 24.0) ** 2)  # circle r=18
+    for fn in (gac_a, gac_b):
+        out = np.asarray(fn(img, phi0, ITER=40))
+        assert np.isfinite(out).all()
+        area0 = (phi0 > 0).sum()
+        area = (out > 0).sum()
+        # balloon force c<0 shrinks; convection pulls to edges: both end
+        # with a smaller positive region that still contains the disc center
+        assert 0 < area < area0, (area, area0)
+        assert out[24, 24] > 0
