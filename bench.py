@@ -81,16 +81,23 @@ def main():
     duc, dvc = field() + 1.0, field() + 1.0
     ww = wn = we = ws = jnp.full((H, W), 0.25, jnp.float32)
 
-    args = (u, v, du, dv, m, cu, cv, duc, dvc, ww, wn, we, ws)
     # warmup / compile
-    out = sor_flow_llin4(*args, ITERS, 1.9)
-    jax.block_until_ready(out)
+    out = sor_flow_llin4(u, v, du, dv, m, cu, cv, duc, dvc, ww, wn, we, ws,
+                         ITERS, 1.9)
+    np.asarray(out[0])  # host fetch = true synchronisation
+    # NOTE: on the experimental 'axon' TPU platform jax.block_until_ready
+    # returns before execution completes; only a device->host copy truly
+    # syncs. Time a dependency-chained batch of calls and fetch at the end.
+    CHAIN = 5
     best = float("inf")
     for _ in range(REPS):
+        cdu, cdv = du, dv
         t0 = time.perf_counter()
-        out = sor_flow_llin4(*args, ITERS, 1.9)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
+        for _ in range(CHAIN):
+            cdu, cdv = sor_flow_llin4(u, v, cdu, cdv, m, cu, cv, duc, dvc,
+                                      ww, wn, we, ws, ITERS, 1.9)
+        np.asarray(cdu)  # sync
+        best = min(best, (time.perf_counter() - t0) / CHAIN)
     value = H * W * ITERS / best / 1e6
 
     base = numpy_sweep_throughput()

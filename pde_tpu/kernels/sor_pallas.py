@@ -35,8 +35,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pde_tpu.solvers.sor import sor_flow_llin4
 
-# conservative per-core VMEM budget for the 15-field working set
-_VMEM_BUDGET_BYTES = 96 * 1024 * 1024
+# Whole-problem budget for the 17-buffer working set. Measured on a real
+# TPU v5e (16 MiB VMEM/core): 256x256 (4.3 MiB of fields) compiles, 384x384
+# (9.6 MiB) does not — the kernel body's live temporaries roughly triple
+# the footprint. Larger grids go through the stripe-tiled kernel
+# (sor_pallas_tiled.py) or the XLA fallback.
+_VMEM_BUDGET_BYTES = 9 * 1024 * 1024 // 2
 
 
 def _round_up(x: int, m: int) -> int:
