@@ -1,0 +1,124 @@
+"""Solver dispatch: pick the fastest implementation per backend/size.
+
+Drop-in replacements for the global XLA solvers in ``solvers/sor.py``:
+
+* CPU backend -> XLA (Pallas DMA kernels are TPU-only; tests exercise the
+  tiled kernels explicitly in interpreter mode).
+* small grids (whole working set VMEM-resident) -> resident Pallas kernel
+  where one exists, otherwise the tiled kernel with all sweeps fused into
+  a single launch.
+* large grids -> stripe-tiled temporally-blocked Pallas kernel
+  (kernels/tiled.py), k sweeps per HBM pass.
+* anything unplannable -> XLA fallback.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from pde_tpu.kernels import sweeps
+from pde_tpu.kernels.tiled import tiled_relax
+from pde_tpu.kernels.sor_pallas import fits_vmem, pallas_sor_flow_llin4
+from pde_tpu.solvers import sor as _sor
+
+
+def _use_pallas() -> bool:
+    return jax.default_backend() not in ("cpu",)
+
+
+def _run_tiled(fields, sweep_factory, n_mut, iters, omega, small):
+    prepare, sweep = sweep_factory(float(omega))
+    out = tiled_relax(fields, sweep, n_mut, iters,
+                      k_max=iters if small else 4, prepare_fn=prepare)
+    return out
+
+
+def _is_small(h, w, n_fields):
+    # single-launch threshold: whole problem comfortably VMEM-resident
+    return h * w * 4 * (n_fields + 4) <= 4 * 1024 * 1024
+
+
+def sor_flow_llin4(u, v, du, dv, m, cu, cv, duc, dvc, ww, wn, we, ws,
+                   iters: int, omega: float):
+    h, w = u.shape
+    if _use_pallas():
+        if fits_vmem(h, w):
+            return pallas_sor_flow_llin4(u, v, du, dv, m, cu, cv, duc, dvc,
+                                         ww, wn, we, ws, iters, omega)
+        out = _run_tiled(
+            (du, dv, u, v, m, cu, cv, duc, dvc, ww, wn, we, ws),
+            sweeps.flow_llin4_sweep, 2, iters, omega, False,
+        )
+        if out is not None:
+            return out
+    return _sor.sor_flow_llin4(u, v, du, dv, m, cu, cv, duc, dvc,
+                               ww, wn, we, ws, iters, omega)
+
+
+def sor_flow_elin4(u, v, m, cu, cv, duc, dvc, ww, wn, we, ws,
+                   iters: int, omega: float):
+    h, w = u.shape
+    if _use_pallas():
+        out = _run_tiled(
+            (u, v, m, cu, cv, duc, dvc, ww, wn, we, ws),
+            sweeps.flow_elin4_sweep, 2, iters, omega, _is_small(h, w, 11),
+        )
+        if out is not None:
+            return out
+    return _sor.sor_flow_elin4(u, v, m, cu, cv, duc, dvc, ww, wn, we, ws,
+                               iters, omega)
+
+
+def sor_flow_llin8(u, v, du, dv, m, cu, cv, duc, dvc,
+                   ww, wnw, wn, wne, we, wse, ws, wsw,
+                   iters: int, omega: float):
+    h, w = u.shape
+    if _use_pallas():
+        out = _run_tiled(
+            (du, dv, u, v, m, cu, cv, duc, dvc,
+             ww, wnw, wn, wne, we, wse, ws, wsw),
+            sweeps.flow_llin8_sweep, 2, iters, omega, _is_small(h, w, 17),
+        )
+        if out is not None:
+            return out
+    return _sor.sor_flow_llin8(u, v, du, dv, m, cu, cv, duc, dvc,
+                               ww, wnw, wn, wne, we, wse, ws, wsw,
+                               iters, omega)
+
+
+def sor_disp_llin4(u, du, cu, duc, ww, wn, we, ws, iters: int, omega: float):
+    h, w = u.shape
+    if _use_pallas():
+        out = _run_tiled(
+            (du, u, cu, duc, ww, wn, we, ws),
+            sweeps.disp_llin4_sweep, 1, iters, omega, _is_small(h, w, 8),
+        )
+        if out is not None:
+            return out[0]
+    return _sor.sor_disp_llin4(u, du, cu, duc, ww, wn, we, ws, iters, omega)
+
+
+def sor_pde4(x, trace, b, ww, wn, we, ws, iters: int, omega: float):
+    if _use_pallas() and x.ndim == 2:
+        h, w = x.shape
+        out = _run_tiled(
+            (x, trace, b, ww, wn, we, ws),
+            sweeps.pde4_sweep, 1, iters, omega, _is_small(h, w, 7),
+        )
+        if out is not None:
+            return out[0]
+    return _sor.sor_pde4(x, trace, b, ww, wn, we, ws, iters, omega)
+
+
+def sor_pde8(x, trace, b, ww, wnw, wn, wne, we, wse, ws, wsw,
+             iters: int, omega: float):
+    if _use_pallas() and x.ndim == 2:
+        h, w = x.shape
+        out = _run_tiled(
+            (x, trace, b, ww, wnw, wn, wne, we, wse, ws, wsw),
+            sweeps.pde8_sweep, 1, iters, omega, _is_small(h, w, 11),
+        )
+        if out is not None:
+            return out[0]
+    return _sor.sor_pde8(x, trace, b, ww, wnw, wn, wne, we, wse, ws, wsw,
+                         iters, omega)

@@ -95,8 +95,9 @@ def _make_aux(ii_real, jj, h, w):
     return SweepAux(mask0=mask0, mask1=mask1, border=border)
 
 
-def _stripe_kernel(*refs, sweep_fn, n_mut: int, n_fields: int, k: int,
-                   halo: int, stripe: int, bs: int, wp: int, h: int, w: int):
+def _stripe_kernel(*refs, sweep_fn, prepare_fn, n_mut: int, n_fields: int,
+                   k: int, halo: int, stripe: int, bs: int, wp: int,
+                   h: int, w: int):
     """One grid step = one row stripe: DMA in, k sweeps, DMA out."""
     in_refs = refs[:n_fields]
     out_refs = refs[n_fields:n_fields + n_mut]
@@ -127,6 +128,8 @@ def _stripe_kernel(*refs, sweep_fn, n_mut: int, n_fields: int, k: int,
 
     mut = [buf[f] for f in range(n_mut)]
     const = [buf[f] for f in range(n_mut, n_fields)]
+    if prepare_fn is not None:
+        const = prepare_fn(const, aux)
 
     def body(_, mut_state):
         return tuple(sweep_fn(list(mut_state), const, aux))
@@ -156,20 +159,26 @@ _STRIPE_BUDGET_BYTES = 6 * 1024 * 1024
 _MIN_STRIPE = 8
 
 
+def _halo_for(k: int) -> int:
+    # dependency halo, rounded up so every DMA row offset (both the
+    # input stripe start and the in-buffer output slice at row `halo`)
+    # stays a multiple of the f32 sublane tile (8 rows)
+    return _round_up(RB_RADIUS * k, 8)
+
+
 def plan_stripes(h: int, w: int, n_fields: int, sweeps: int, k_max: int = 4):
     """Choose (k, stripe, n_stripes) for an (h, w) problem.
 
-    Returns None when tiling is not worthwhile/possible (problem too wide
-    for even the minimum stripe, or too few rows to amortise halos).
+    stripe is a multiple of 8 (HBM DMA row offsets must be sublane-
+    aligned). Returns None when no plan fits the VMEM stripe budget.
     """
     wp = _round_up(max(w, 128), 128)
     k = max(1, min(k_max, sweeps))
     while k >= 1:
-        halo = RB_RADIUS * k
+        halo = _halo_for(k)
         # bs = stripe + 2*halo rows; fields bytes = n_fields * bs * wp * 4
         max_bs = _STRIPE_BUDGET_BYTES // (n_fields * wp * 4)
-        max_bs = max_bs // 8 * 8
-        stripe = max_bs - 2 * halo
+        stripe = (max_bs - 2 * halo) // 8 * 8
         if stripe >= max(_MIN_STRIPE, 2 * halo):
             stripe = min(stripe, _round_up(h, 8))
             return k, stripe, math.ceil(h / stripe)
@@ -179,10 +188,11 @@ def plan_stripes(h: int, w: int, n_fields: int, sweeps: int, k_max: int = 4):
 
 @partial(
     jax.jit,
-    static_argnames=("sweep_fn", "n_mut", "iters", "k", "stripe", "interpret"),
+    static_argnames=("sweep_fn", "prepare_fn", "n_mut", "iters", "k",
+                     "stripe", "interpret"),
 )
-def _tiled_chunks(fields, sweep_fn, n_mut: int, iters: int, k: int,
-                  stripe: int, interpret: bool = False):
+def _tiled_chunks(fields, sweep_fn, prepare_fn, n_mut: int, iters: int,
+                  k: int, stripe: int, interpret: bool = False):
     h, w = fields[0].shape
     n_fields = len(fields)
     wp = _round_up(max(w, 128), 128)
@@ -196,20 +206,14 @@ def _tiled_chunks(fields, sweep_fn, n_mut: int, iters: int, k: int,
             mode="edge",
         )
 
-    n_chunks = math.ceil(iters / k)
-    mut = [f.astype(jnp.float32) for f in fields[:n_mut]]
-
-    for c in range(n_chunks):
-        kc = min(k, iters - c * k)
-        halo = RB_RADIUS * kc
+    def run_chunk(mut, kc: int, const_padded, halo: int):
         bs = stripe + 2 * halo
-        padded = [pad_hw(f, halo) for f in mut] + [
-            pad_hw(f, halo) for f in fields[n_mut:]
-        ]
+        padded = [pad_hw(f, halo) for f in mut] + const_padded
         out = pl.pallas_call(
             partial(
                 _stripe_kernel,
                 sweep_fn=sweep_fn,
+                prepare_fn=prepare_fn,
                 n_mut=n_mut,
                 n_fields=n_fields,
                 k=kc,
@@ -236,23 +240,44 @@ def _tiled_chunks(fields, sweep_fn, n_mut: int, iters: int, k: int,
             ],
             interpret=interpret,
         )(*padded)
-        mut = [o[:h, :w] for o in out]
+        return [o[:h, :w] for o in out]
+
+    mut = [f.astype(jnp.float32) for f in fields[:n_mut]]
+    n_full, rem = divmod(iters, k)
+    if n_full:
+        halo = _halo_for(k)
+        const_padded = [pad_hw(f, halo) for f in fields[n_mut:]]
+        if n_full == 1:
+            mut = run_chunk(mut, k, const_padded, halo)
+        else:
+            def body(carry, _):
+                return tuple(run_chunk(list(carry), k, const_padded, halo)), None
+
+            mut_t, _ = lax.scan(body, tuple(mut), None, length=n_full)
+            mut = list(mut_t)
+    if rem:
+        halo = _halo_for(rem)
+        const_padded = [pad_hw(f, halo) for f in fields[n_mut:]]
+        mut = run_chunk(mut, rem, const_padded, halo)
 
     return tuple(mut)
 
 
 def tiled_relax(fields: Sequence[jnp.ndarray], sweep_fn, n_mut: int,
-                iters: int, k_max: int = 4, interpret: bool = False):
+                iters: int, k_max: int = 4, prepare_fn=None,
+                interpret: bool = False):
     """Run ``iters`` red-black sweeps of ``sweep_fn`` over ``fields``.
 
     fields[:n_mut] are the relaxed state; the rest are frozen
-    coefficients. Returns the updated mutable fields, identical to running
-    the same sweeps globally. Returns None when no stripe plan fits.
+    coefficients (optionally pre-transformed once per stripe by
+    ``prepare_fn(const, aux)``). Returns the updated mutable fields,
+    identical to running the same sweeps globally. Returns None when no
+    stripe plan fits.
     """
     h, w = fields[0].shape
     plan = plan_stripes(h, w, len(fields), iters, k_max)
     if plan is None:
         return None
     k, stripe, _ = plan
-    return _tiled_chunks(tuple(fields), sweep_fn, n_mut, iters, k, stripe,
-                         interpret)
+    return _tiled_chunks(tuple(fields), sweep_fn, prepare_fn, n_mut, iters,
+                         k, stripe, interpret)
