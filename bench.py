@@ -1,18 +1,30 @@
-"""Benchmark: hot relaxation-sweep throughput on the current accelerator.
+"""Benchmark suite: per-kernel and end-to-end throughput on the current
+accelerator (BASELINE.md items 3-4).
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "Mpix-iters/s", "vs_baseline": N}
+Prints one JSON line per metric:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+The LAST line is the headline metric: sustained throughput of the
+dispatched Pallas stripe-tiled llin4 relaxation kernel — the hot sweep of
+the flagship warping-flow model (mirrors GS_SOR_llin4_2d,
+opticalflowSolvers.c:504-680).
 
-Metric: megapixel-iterations/second of the late-linearisation flow SOR
-sweep (the engine's hottest kernel — each iteration is two red-black
-half-updates of the coupled (dU, dV) pair over a 1024x1024 grid, 13
-input fields; mirrors GS_SOR_llin4_2d, opticalflowSolvers.c:504-680).
-
-``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
-baseline is *measured here*: the same sweep executed by a vectorised
-single-core NumPy port of the reference kernel on this host's CPU —
-an optimistic stand-in for the single-threaded C MEX solver. The
-BASELINE.json north star asks for >=20x that per chip.
+Measurement notes
+-----------------
+* This environment reaches the TPU through the experimental 'axon'
+  tunnel, which adds a large fixed cost per dispatched call (input
+  streaming); jax.block_until_ready also returns early, so only a
+  device->host copy truly syncs. Sweep kernels are therefore measured as
+  a MARGINAL rate: time the same solve at two iteration counts and
+  divide the difference — that is the sustained on-chip rate a real
+  (untunnelled) deployment sees. End-to-end frames/s is reported as
+  measured, tunnel overhead included (pessimistic).
+* ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so
+  the baseline is measured here as a vectorised single-core NumPy port
+  of the same sweep arithmetic on this host's CPU — an optimistic
+  stand-in for the reference's single-threaded C MEX kernel. The
+  BASELINE.json north star asks for >=20x that per chip. Metrics with no
+  meaningful NumPy twin report vs_baseline vs the XLA path instead
+  (noted in the metric name).
 """
 
 import json
@@ -22,7 +34,6 @@ import time
 import numpy as np
 
 H = W = 1024
-ITERS = 50
 REPS = 3
 
 
@@ -43,11 +54,9 @@ def numpy_sweep_throughput(h=256, w=256, iters=4):
     omega = f32(1.9)
 
     def nbr(x):
-        out = np.empty_like(x)
         xp = np.pad(x, 1, mode="edge")
-        out = (ww * xp[1:-1, :-2] + we * xp[1:-1, 2:]
-               + wn * xp[:-2, 1:-1] + ws * xp[2:, 1:-1])
-        return out
+        return (ww * xp[1:-1, :-2] + we * xp[1:-1, 2:]
+                + wn * xp[:-2, 1:-1] + ws * xp[2:, 1:-1])
 
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -65,48 +74,188 @@ def numpy_sweep_throughput(h=256, w=256, iters=4):
     return h * w * iters / dt / 1e6
 
 
+def emit(metric, value, unit, vs):
+    print(json.dumps({"metric": metric, "value": round(float(value), 4),
+                      "unit": unit, "vs_baseline": round(float(vs), 2)}),
+          flush=True)
+
+
+def _sync(x):
+    np.asarray(x)  # device->host copy = true synchronisation on axon
+
+
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     import jax
     import jax.numpy as jnp
-    from pde_tpu.solvers.sor import sor_flow_llin4
 
     rng = np.random.default_rng(0)
 
-    def field():
-        return jnp.asarray(rng.random((H, W)), dtype=jnp.float32)
+    def field(scale=1.0, shape=(H, W)):
+        return jnp.asarray(rng.random(shape) * scale, dtype=jnp.float32)
 
-    u, v, du, dv = field(), field(), field(), field()
-    m, cu, cv = field() * 0.01, field(), field()
+    u, v, du, dv = field(0.1), field(0.1), field(0.0), field(0.0)
+    m, cu, cv = field(0.01), field(), field()
     duc, dvc = field() + 1.0, field() + 1.0
     ww = wn = we = ws = jnp.full((H, W), 0.25, jnp.float32)
 
-    # warmup / compile
-    out = sor_flow_llin4(u, v, du, dv, m, cu, cv, duc, dvc, ww, wn, we, ws,
-                         ITERS, 1.9)
-    np.asarray(out[0])  # host fetch = true synchronisation
-    # NOTE: on the experimental 'axon' TPU platform jax.block_until_ready
-    # returns before execution completes; only a device->host copy truly
-    # syncs. Time a dependency-chained batch of calls and fetch at the end.
-    CHAIN = 5
-    best = float("inf")
-    for _ in range(REPS):
-        cdu, cdv = du, dv
-        t0 = time.perf_counter()
-        for _ in range(CHAIN):
-            cdu, cdv = sor_flow_llin4(u, v, cdu, cdv, m, cu, cv, duc, dvc,
-                                      ww, wn, we, ws, ITERS, 1.9)
-        np.asarray(cdu)  # sync
-        best = min(best, (time.perf_counter() - t0) / CHAIN)
-    value = H * W * ITERS / best / 1e6
+    def timed(fn, *args, chain=2):
+        out = fn(*args)
+        _sync(jax.tree_util.tree_leaves(out)[0])
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            o = None
+            for _ in range(chain):
+                o = fn(*args)
+            _sync(jax.tree_util.tree_leaves(o)[0])
+            best = min(best, (time.perf_counter() - t0) / chain)
+        return best
+
+    def chained_sweep_time(solver, i1=128, i2=4096):
+        """Marginal seconds/sweep between iteration counts i1 and i2,
+        with the output chained back in to keep the device busy. The span
+        must dwarf the tunnel's per-call jitter (tens of ms), hence
+        thousands of sweeps."""
+        def run(iters):
+            def fn():
+                cdu, cdv = du, dv
+                for _ in range(2):
+                    cdu, cdv = solver(cdu, cdv, iters)
+                return cdu
+            out = fn(); _sync(out)
+            best = float("inf")
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                out = fn()
+                _sync(out)
+                best = min(best, (time.perf_counter() - t0) / 2)
+            return best
+        return (run(i2) - run(i1)) / (i2 - i1)
 
     base = numpy_sweep_throughput()
-    print(json.dumps({
-        "metric": "llin4 flow SOR sweep throughput (1024x1024, coupled dU/dV)",
-        "value": round(value, 2),
-        "unit": "Mpix-iters/s",
-        "vs_baseline": round(value / base, 2),
-    }))
+
+    def call_inclusive(fn, *args, chain=3):
+        """Whole-call seconds (includes the tunnel's fixed per-call cost:
+        pessimistic lower bound on the kernel's true rate)."""
+        return timed(fn, *args, chain=chain)
+
+    # --- HEADLINE first (cheapest compiles; re-emitted last) -------------
+    from pde_tpu.kernels import sweeps as ksweeps
+    from pde_tpu.kernels.tiled import tiled_relax
+    prep, sw = ksweeps.flow_llin4_sweep(1.9)
+    consts = (u, v, m, cu, cv, duc, dvc, ww, wn, we, ws)
+    dt = chained_sweep_time(
+        lambda a, b, it: tiled_relax((a, b) + consts, sw, 2, it,
+                                     k_max=4, prepare_fn=prep))
+    tiled_rate = H * W / dt / 1e6
+    headline = ("llin4 flow SOR sweep, Pallas tiled kernel (1024x1024, "
+                "sustained; temporal blocking k=4)")
+    emit(headline, tiled_rate, "Mpix-iters/s", tiled_rate / base)
+
+    # --- XLA red-black SOR (the pure-XLA path, for comparison) ----------
+    try:
+        from pde_tpu.solvers.sor import sor_flow_llin4 as xla_sor
+        dt = chained_sweep_time(
+            lambda a, b, it: xla_sor(u, v, a, b, m, cu, cv, duc, dvc,
+                                     ww, wn, we, ws, it, 1.9))
+        xla_rate = H * W / dt / 1e6
+        emit("llin4 flow SOR sweep, XLA path (1024x1024, sustained)",
+             xla_rate, "Mpix-iters/s", xla_rate / base)
+    except Exception as e:  # pragma: no cover
+        print(f"# xla sweep failed: {e!r}", flush=True)
+
+    # --- secondary kernels: single program each, whole-call timing ------
+    try:
+        from pde_tpu.solvers.tdma import alr_flow_llin4
+        it = 32
+        dt = call_inclusive(
+            lambda: alr_flow_llin4(u, v, du, dv, m, cu, cv, duc, dvc,
+                                   ww, wn, we, ws, it, 1.9))
+        emit("llin4 flow zebra-ALR (batched TDMA) sweep (1024x1024, whole-call)",
+             H * W * it / dt / 1e6, "Mpix-iters/s", (H * W * it / dt / 1e6) / base)
+    except Exception as e:
+        print(f"# alr sweep failed: {e!r}", flush=True)
+
+    try:
+        from pde_tpu.solvers.krylov import pcg_flow_llin4
+        it = 32
+        dt = call_inclusive(
+            lambda: pcg_flow_llin4(u, v, du, dv, m, cu, cv, duc, dvc,
+                                   ww, wn, we, ws, it, 1.9))
+        emit("llin4 flow PCG (zebra-ADI preconditioned) iteration (1024x1024, whole-call)",
+             H * W * it / dt / 1e6, "Mpix-iters/s", (H * W * it / dt / 1e6) / base)
+    except Exception as e:
+        print(f"# pcg failed: {e!r}", flush=True)
+
+    try:
+        from pde_tpu.solvers.aos import cv_aos_step
+        phi = field(2.0) - 1.0
+        data = field(0.5)
+        dh = 1.0 / (np.pi * (1.0 + phi**2))
+        gphi = field(0.5) + 0.5
+        it = 16
+
+        @jax.jit
+        def aos(p):
+            for _ in range(it):
+                p = cv_aos_step(p, data, dh, gphi, 0.25, 1000.0)
+            return p
+        dt = call_inclusive(lambda: aos(phi))
+        emit("Chan-Vese AOS step (1024x1024, whole-call)",
+             H * W * it / dt / 1e6, "Mpix-steps/s", (H * W * it / dt / 1e6) / base)
+    except Exception as e:
+        print(f"# aos failed: {e!r}", flush=True)
+
+    try:
+        from pde_tpu.solvers.reinit import reinit
+        phi = field(2.0) - 1.0
+        it = 40
+        dt = call_inclusive(lambda: reinit(phi, steps=it))
+        emit("signed-distance reinit Euler step (1024x1024, whole-call)",
+             H * W * it / dt / 1e6, "Mpix-steps/s", (H * W * it / dt / 1e6) / base)
+    except Exception as e:
+        print(f"# reinit failed: {e!r}", flush=True)
+
+    # --- end-to-end flagship model --------------------------------------
+    try:
+        from pde_tpu.utils.io import load_yosemite
+        from pde_tpu.models.flow_nd import flow_nd
+        y0, y1, _, _ = load_yosemite()
+        def e2e():
+            uo, vo = flow_nd(y0, y1, "grad", "gradmag")
+            _sync(uo)
+        e2e()  # compile all levels
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            e2e()
+            best = min(best, time.perf_counter() - t0)
+        # no NumPy twin is run here (the sequential oracle takes minutes
+        # per frame); vs_baseline=0 marks "unbaselined"
+        emit(f"flow_nd end-to-end, Yosemite {y0.shape} (TPU defaults, incl. tunnel overhead)",
+             1.0 / best, "frames/s", 0.0)
+    except Exception as e:
+        print(f"# e2e failed: {e!r}", flush=True)
+
+    # --- virtual-mesh halo overhead (subprocess: needs the CPU backend) --
+    try:
+        import subprocess
+        out = subprocess.run(
+            [os.sys.executable, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "scripts", "bench_scaling.py")],
+            capture_output=True, text=True, timeout=900,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                print(line, flush=True)
+    except Exception as e:
+        print(f"# scaling bench failed: {e!r}", flush=True)
+
+    # re-emit the headline as the LAST line (the driver parses the final
+    # JSON line of the output)
+    emit(headline, tiled_rate, "Mpix-iters/s", tiled_rate / base)
 
 
 if __name__ == "__main__":

@@ -2,8 +2,9 @@
 
 Drop-in replacements for the global XLA solvers in ``solvers/sor.py``:
 
-* CPU backend -> XLA (Pallas DMA kernels are TPU-only; tests exercise the
-  tiled kernels explicitly in interpreter mode).
+* CPU backend -> XLA (Pallas DMA kernels are TPU-only;
+  ``tests/test_kernels.py`` exercises the tiled kernels and the resident
+  kernel in interpreter mode against the XLA solvers).
 * small grids (whole working set VMEM-resident) -> resident Pallas kernel
   where one exists, otherwise the tiled kernel with all sweeps fused into
   a single launch.
@@ -28,8 +29,10 @@ def _use_pallas() -> bool:
 
 def _run_tiled(fields, sweep_factory, n_mut, iters, omega, small):
     prepare, sweep = sweep_factory(float(omega))
+    # k_max capped at 8 even for VMEM-resident grids: the chunk body is
+    # fully unrolled and larger k blows up program size / compile time
     out = tiled_relax(fields, sweep, n_mut, iters,
-                      k_max=iters if small else 4, prepare_fn=prepare)
+                      k_max=min(iters, 8) if small else 4, prepare_fn=prepare)
     return out
 
 
@@ -96,6 +99,27 @@ def sor_disp_llin4(u, du, cu, duc, ww, wn, we, ws, iters: int, omega: float):
         if out is not None:
             return out[0]
     return _sor.sor_disp_llin4(u, du, cu, duc, ww, wn, we, ws, iters, omega)
+
+
+def sor_disp_llin_sym4(
+    u0, du0, cu0, duc0, ww0, wn0, we0, ws0,
+    u1, du1, cu1, duc1, ww1, wn1, we1, ws1,
+    iters: int, omega: float,
+):
+    """Coupled left/right pair: the two relaxations are algebraically
+    independent per sweep (coupling enters through the Cu/Du tensors the
+    driver rebuilds between solves, see solvers/sor.py), so each side
+    dispatches through the scalar kernel independently."""
+    if _use_pallas():
+        d0 = sor_disp_llin4(u0, du0, cu0, duc0, ww0, wn0, we0, ws0,
+                            iters, omega)
+        d1 = sor_disp_llin4(u1, du1, cu1, duc1, ww1, wn1, we1, ws1,
+                            iters, omega)
+        return d0, d1
+    return _sor.sor_disp_llin_sym4(
+        u0, du0, cu0, duc0, ww0, wn0, we0, ws0,
+        u1, du1, cu1, duc1, ww1, wn1, we1, ws1, iters, omega,
+    )
 
 
 def sor_pde4(x, trace, b, ww, wn, we, ws, iters: int, omega: float):

@@ -84,11 +84,16 @@ def _kernel(hw_ref, u_ref, v_ref, du_ref, dv_ref, m_ref, cu_ref, cv_ref,
 
     ii = lax.broadcasted_iota(jnp.int32, (ph, pw), 0)
     jj = lax.broadcasted_iota(jnp.int32, (ph, pw), 1)
-    interior = (ii >= 1) & (ii <= h - 2) & (jj >= 1) & (jj <= w - 2)
-    mask0 = interior & (((ii + jj) % 2) == 0)
-    mask1 = interior & (((ii + jj) % 2) == 1)
-    # border-fill selectors restricted to the REAL image extent
+    # border-solving convention (solvers/sor.py): every REAL pixel is
+    # relaxed; out-facing weights zeroed at the global edges
     in_img = (ii < h) & (jj < w)
+    mask0 = in_img & (((ii + jj) % 2) == 0)
+    mask1 = in_img & (((ii + jj) % 2) == 1)
+    zero = jnp.zeros((), ww.dtype)
+    ww = jnp.where(jj == 0, zero, ww)
+    we = jnp.where(jj == w - 1, zero, we)
+    wn = jnp.where(ii == 0, zero, wn)
+    ws = jnp.where(ii == h - 1, zero, ws)
 
     wsum = ww + wn + we + ws
     cu_nan = jnp.isnan(cu)
@@ -104,30 +109,20 @@ def _kernel(hw_ref, u_ref, v_ref, du_ref, dv_ref, m_ref, cu_ref, cv_ref,
                 + _shift_n(x) * wn + _shift_s(x) * ws)
 
     def half(fu, fv, mask):
+        # v uses the refreshed u (GS coupling, cf. solvers/sor.py)
         su = nbr(fu + u) - u * wsum
         sv = nbr(fv + v) - v * wsum
         num_u = jnp.where(cu_nan, su, su + cu0 - m0 * fv)
-        num_v = jnp.where(cv_nan, sv, sv + cv0 - m0 * fu)
         new_u = jnp.where(mask, (1.0 - omega) * fu + omega * num_u * inv_u, fu)
+        num_v = jnp.where(cv_nan, sv, sv + cv0 - m0 * new_u)
         new_v = jnp.where(mask, (1.0 - omega) * fv + omega * num_v * inv_v, fv)
         return new_u, new_v
-
-    def border(x):
-        # replicate row/col h-1 <- h-2 and 0 <- 1 within the REAL extent;
-        # padded area (>= h, >= w) holds edge-replicated values already and
-        # is never read by interior pixels' shifts beyond 1 px.
-        top = (ii == 0) & in_img
-        bot = (ii == h - 1) & in_img
-        x = jnp.where(top, _shift_s(x), jnp.where(bot, _shift_n(x), x))
-        left = (jj == 0) & in_img
-        right = (jj == w - 1) & in_img
-        return jnp.where(left, _shift_e(x), jnp.where(right, _shift_w(x), x))
 
     def body(_, state):
         fu, fv = state
         fu, fv = half(fu, fv, mask0)
         fu, fv = half(fu, fv, mask1)
-        return border(fu), border(fv)
+        return fu, fv
 
     du, dv = lax.fori_loop(0, iters, body, (du_ref[:], dv_ref[:]))
     du_out[:] = du

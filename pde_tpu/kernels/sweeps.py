@@ -45,6 +45,23 @@ def _fold_data_nan(c, dc, weights_sum):
     return c_nan, c0, inv
 
 
+def _zero_edges4(ww, wn, we, ws, aux):
+    z = jnp.zeros((), ww.dtype)
+    return (jnp.where(aux.edge_w, z, ww), jnp.where(aux.edge_n, z, wn),
+            jnp.where(aux.edge_e, z, we), jnp.where(aux.edge_s, z, ws))
+
+
+def _zero_edges8(ws8, aux):
+    ww, wnw, wn, wne, we, wse, ws, wsw = ws8
+    z = jnp.zeros((), ww.dtype)
+    ww, wn, we, ws = _zero_edges4(ww, wn, we, ws, aux)
+    wnw = jnp.where(aux.edge_n | aux.edge_w, z, wnw)
+    wne = jnp.where(aux.edge_n | aux.edge_e, z, wne)
+    wse = jnp.where(aux.edge_s | aux.edge_e, z, wse)
+    wsw = jnp.where(aux.edge_s | aux.edge_w, z, wsw)
+    return ww, wnw, wn, wne, we, wse, ws, wsw
+
+
 @lru_cache(maxsize=None)
 def flow_llin4_sweep(omega: float):
     """Coupled (dU, dV) late-linearisation 4-neighbour flow sweep.
@@ -54,6 +71,9 @@ def flow_llin4_sweep(omega: float):
 
     def prepare(const, aux):
         u, v, m, cu, cv, duc, dvc, ww, wn, we, ws = const
+        # border-solving convention (solvers/sor.py): out-facing weights
+        # zeroed at the GLOBAL image edges, all real pixels relaxed
+        ww, wn, we, ws = _zero_edges4(ww, wn, we, ws, aux)
         wsum = ww + wn + we + ws
         cu_nan, cu0, inv_u = _fold_data_nan(cu, duc, wsum)
         cv_nan, cv0, inv_v = _fold_data_nan(cv, dvc, wsum)
@@ -67,17 +87,18 @@ def flow_llin4_sweep(omega: float):
          ww, wn, we, ws, wsum) = const
 
         def half(fu, fv, mask):
+            # v uses the refreshed u (GS coupling, cf. solvers/sor.py)
             su = _nbr4(fu + u, ww, wn, we, ws, aux) - u * wsum
             sv = _nbr4(fv + v, ww, wn, we, ws, aux) - v * wsum
             num_u = jnp.where(cu_nan, su, su + cu0 - m0 * fv)
-            num_v = jnp.where(cv_nan, sv, sv + cv0 - m0 * fu)
             nu = jnp.where(mask, (1.0 - omega) * fu + omega * num_u * inv_u, fu)
+            num_v = jnp.where(cv_nan, sv, sv + cv0 - m0 * nu)
             nv = jnp.where(mask, (1.0 - omega) * fv + omega * num_v * inv_v, fv)
             return nu, nv
 
-        du, dv = half(du, dv, aux.mask0)
-        du, dv = half(du, dv, aux.mask1)
-        return [aux.border(du), aux.border(dv)]
+        du, dv = half(du, dv, aux.maskf0)
+        du, dv = half(du, dv, aux.maskf1)
+        return [du, dv]
 
     return prepare, sweep
 
@@ -92,6 +113,7 @@ def flow_llin8_sweep(omega: float):
 
     def prepare(const, aux):
         u, v, m, cu, cv, duc, dvc, *ws8 = const
+        ws8 = list(_zero_edges8(ws8, aux))
         wsum = sum(ws8)
         cu_nan, cu0, inv_u = _fold_data_nan(cu, duc, wsum)
         cv_nan, cv0, inv_v = _fold_data_nan(cv, dvc, wsum)
@@ -103,17 +125,18 @@ def flow_llin8_sweep(omega: float):
         (u, v, m0, cu_nan, cu0, inv_u, cv_nan, cv0, inv_v, wsum, *ws8) = const
 
         def half(fu, fv, mask):
+            # v uses the refreshed u (GS coupling, cf. solvers/sor.py)
             su = _nbr8(fu + u, *ws8, aux) - u * wsum
             sv = _nbr8(fv + v, *ws8, aux) - v * wsum
             num_u = jnp.where(cu_nan, su, su + cu0 - m0 * fv)
-            num_v = jnp.where(cv_nan, sv, sv + cv0 - m0 * fu)
             nu = jnp.where(mask, (1.0 - omega) * fu + omega * num_u * inv_u, fu)
+            num_v = jnp.where(cv_nan, sv, sv + cv0 - m0 * nu)
             nv = jnp.where(mask, (1.0 - omega) * fv + omega * num_v * inv_v, fv)
             return nu, nv
 
-        du, dv = half(du, dv, aux.mask0)
-        du, dv = half(du, dv, aux.mask1)
-        return [aux.border(du), aux.border(dv)]
+        du, dv = half(du, dv, aux.maskf0)
+        du, dv = half(du, dv, aux.maskf1)
+        return [du, dv]
 
     return prepare, sweep
 
@@ -216,6 +239,7 @@ def flow_elin4_sweep(omega: float):
 
     def prepare(const, aux):
         m, cu, cv, duc, dvc, ww, wn, we, ws = const
+        ww, wn, we, ws = _zero_edges4(ww, wn, we, ws, aux)
         wsum = ww + wn + we + ws
         cu_nan, cu0, inv_u = _fold_data_nan(cu, duc, wsum)
         cv_nan, cv0, inv_v = _fold_data_nan(cv, dvc, wsum)
@@ -227,16 +251,17 @@ def flow_elin4_sweep(omega: float):
         m0, cu_nan, cu0, inv_u, cv_nan, cv0, inv_v, ww, wn, we, ws = const
 
         def half(fu, fv, mask):
+            # v uses the refreshed u (GS coupling, cf. solvers/sor.py)
             su = _nbr4(fu, ww, wn, we, ws, aux)
             sv = _nbr4(fv, ww, wn, we, ws, aux)
             num_u = jnp.where(cu_nan, su, su + cu0 - m0 * fv)
-            num_v = jnp.where(cv_nan, sv, sv + cv0 - m0 * fu)
             nu = jnp.where(mask, (1.0 - omega) * fu + omega * num_u * inv_u, fu)
+            num_v = jnp.where(cv_nan, sv, sv + cv0 - m0 * nu)
             nv = jnp.where(mask, (1.0 - omega) * fv + omega * num_v * inv_v, fv)
             return nu, nv
 
-        u, v = half(u, v, aux.mask0)
-        u, v = half(u, v, aux.mask1)
-        return [aux.border(u), aux.border(v)]
+        u, v = half(u, v, aux.maskf0)
+        u, v = half(u, v, aux.maskf1)
+        return [u, v]
 
     return prepare, sweep

@@ -58,15 +58,26 @@ def _shift_s(x):
 class SweepAux(NamedTuple):
     """Everything a sweep body needs besides the field values.
 
-    mask0/mask1: red/black interior masks (already exclude the 1-px global
-    border and any padding). border(x): applies the global 1-px replicated
-    border fill (identity outside the real image extent). shifts: edge-
-    replicating shift helpers (w, n, e, s order).
+    mask0/mask1: red/black interior masks (exclude the 1-px global border
+    and any padding) — used by the replicate-border families (pde4/8,
+    disparity). border(x): the global 1-px replicated border fill
+    (identity outside the real image extent). maskf0/maskf1: FULL-extent
+    color masks (borders included, padding excluded) — used by the
+    border-solving coupled flow families (see solvers/sor.py's border
+    convention note). edge_w/n/e/s: True on the global out-facing edge of
+    each direction (for zeroing the corresponding weights). shifts:
+    edge-replicating shift helpers.
     """
 
     mask0: jnp.ndarray
     mask1: jnp.ndarray
     border: Callable
+    maskf0: jnp.ndarray = None
+    maskf1: jnp.ndarray = None
+    edge_w: jnp.ndarray = None
+    edge_n: jnp.ndarray = None
+    edge_e: jnp.ndarray = None
+    edge_s: jnp.ndarray = None
     shift_w: Callable = _shift_w
     shift_n: Callable = _shift_n
     shift_e: Callable = _shift_e
@@ -92,7 +103,11 @@ def _make_aux(ii_real, jj, h, w):
         x = jnp.where(top, _shift_s(x), jnp.where(bot, _shift_n(x), x))
         return jnp.where(left, _shift_e(x), jnp.where(right, _shift_w(x), x))
 
-    return SweepAux(mask0=mask0, mask1=mask1, border=border)
+    return SweepAux(
+        mask0=mask0, mask1=mask1, border=border,
+        maskf0=in_img & (par == 0), maskf1=in_img & (par == 1),
+        edge_w=left, edge_n=top, edge_e=right, edge_s=bot,
+    )
 
 
 def _stripe_kernel(*refs, sweep_fn, prepare_fn, n_mut: int, n_fields: int,
@@ -134,7 +149,8 @@ def _stripe_kernel(*refs, sweep_fn, prepare_fn, n_mut: int, n_fields: int,
     def body(_, mut_state):
         return tuple(sweep_fn(list(mut_state), const, aux))
 
-    mut = lax.fori_loop(0, k, body, tuple(mut), unroll=True)
+    # full unroll only for short chunks; large k would blow up program size
+    mut = lax.fori_loop(0, k, body, tuple(mut), unroll=(k <= 8))
 
     for f in range(n_mut):
         buf[f] = mut[f]
@@ -229,9 +245,9 @@ def _tiled_chunks(fields, sweep_fn, prepare_fn, n_mut: int, iters: int,
                 jax.ShapeDtypeStruct((hs, wp), jnp.float32)
                 for _ in range(n_mut)
             ),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_fields,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_fields,
             out_specs=tuple(
-                pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(n_mut)
+                pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_mut)
             ),
             scratch_shapes=[
                 pltpu.VMEM((n_fields, bs, wp), jnp.float32),
@@ -265,7 +281,7 @@ def _tiled_chunks(fields, sweep_fn, prepare_fn, n_mut: int, iters: int,
 
 def tiled_relax(fields: Sequence[jnp.ndarray], sweep_fn, n_mut: int,
                 iters: int, k_max: int = 4, prepare_fn=None,
-                interpret: bool = False):
+                interpret: bool = False, plan_override=None):
     """Run ``iters`` red-black sweeps of ``sweep_fn`` over ``fields``.
 
     fields[:n_mut] are the relaxed state; the rest are frozen
@@ -273,11 +289,18 @@ def tiled_relax(fields: Sequence[jnp.ndarray], sweep_fn, n_mut: int,
     ``prepare_fn(const, aux)``). Returns the updated mutable fields,
     identical to running the same sweeps globally. Returns None when no
     stripe plan fits.
+
+    plan_override: optional ``(k, stripe)`` forcing a specific temporal
+    block and stripe height (stripe must be a multiple of 8) — used by
+    tests to exercise multi-stripe plans on small grids.
     """
     h, w = fields[0].shape
-    plan = plan_stripes(h, w, len(fields), iters, k_max)
-    if plan is None:
-        return None
-    k, stripe, _ = plan
+    if plan_override is not None:
+        k, stripe = plan_override
+    else:
+        plan = plan_stripes(h, w, len(fields), iters, k_max)
+        if plan is None:
+            return None
+        k, stripe, _ = plan
     return _tiled_chunks(tuple(fields), sweep_fn, prepare_fn, n_mut, iters,
                          k, stripe, interpret)

@@ -26,7 +26,7 @@ from pde_tpu.core.resize import imresize
 from pde_tpu.ops.derivatives import fst_derivatives5, snd_derivatives5, rgb2grad
 from pde_tpu.ops.warp import bilinear_warp, identity_grid
 from pde_tpu.ops.weights import diffusion_weights_4
-from pde_tpu.solvers.sor import sor_disp_llin4
+from pde_tpu.kernels.dispatch import sor_disp_llin4
 from pde_tpu.solvers.krylov import pcg_disp_llin4
 
 
@@ -44,7 +44,9 @@ class DisparityParams:
     b2: float = 0.29
     scales: int = 10**9
     scl_factor: float = 0.75
-    solver: int = 2
+    # TPU-native default (see FlowNDParams.solver note); 0.5% AEE vs
+    # the sequential-ALR golden at reference counts
+    solver: int = 1
 
 
 def warp_x(img, u):
@@ -109,8 +111,12 @@ def _disp_level(u, i1t0, i1t1, i2t0, i2t1, us_ap, as_diff, p: "DisparityParams",
 
 
 def disparity_nd(il, ir, fst_term: str = "grad", snd_term: str = "gradmag",
-                 params: DisparityParams | None = None, us=None, **overrides):
-    """il, ir: (C, H, W) or (H, W) uint8-range stereo pair. Returns U (H, W)."""
+                 params: DisparityParams | None = None, us=None,
+                 collect: list | None = None, **overrides):
+    """il, ir: (C, H, W) or (H, W) uint8-range stereo pair. Returns U (H, W).
+
+    collect: optional list; the per-level U field (coarsest first, before
+    upscaling) is appended — used for level-by-level golden parity."""
     p = with_overrides(params or DisparityParams(), **overrides)
     fst_term = fst_term.lower()
     snd_term = snd_term.lower()
@@ -147,6 +153,8 @@ def disparity_nd(il, ir, fst_term: str = "grad", snd_term: str = "gradmag",
         as_diff = 1.75 * p.scl_factor**lvl  # DispEminND_llin_2D.m:186
         u = level_fn(u, fst_img(l0), fst_img(l1), snd_img(l0), snd_img(l1),
                      us_lv[lvl], as_diff)
+        if collect is not None:
+            collect.append(u)
         if lvl > 0:
             nh, nw = levels[lvl - 1][0].shape[-2:]
             u = imresize(u / p.scl_factor, (nh, nw), "bilinear")

@@ -37,7 +37,7 @@ from pde_tpu.core.resize import imresize
 from pde_tpu.models.disparity import warp_x
 from pde_tpu.ops.derivatives import fst_derivatives5, snd_derivatives5, SMOOTHER5, FST_DERIVATOR5
 from pde_tpu.ops.weights import diffusion_weights_4
-from pde_tpu.solvers.sor import sor_disp_llin_sym4
+from pde_tpu.kernels.dispatch import sor_disp_llin_sym4
 from pde_tpu.solvers.krylov import pcg_disp_llin4
 
 
@@ -55,7 +55,8 @@ class DisparitySymParams:
     b2: float = 0.72
     scales: int = 10**9
     scl_factor: float = 0.75
-    solver: int = 2
+    # TPU-native default (see FlowNDParams.solver note)
+    solver: int = 1
 
 
 def _flow_dx(u):
@@ -147,11 +148,13 @@ def _sym_level(u0, u1, it0, it1, sr_diff, p: "DisparitySymParams"):
     return u0, u1
 
 
-def disparity_sym(il, ir, params: DisparitySymParams | None = None, **overrides):
+def disparity_sym(il, ir, params: DisparitySymParams | None = None,
+                  collect: list | None = None, **overrides):
     """Symmetric disparity. il/ir: (C, H, W) or (H, W) uint8-range images.
 
     Returns U of shape (2, H, W): U[0] left->right, U[1] right->left
-    (the reference's U(:,:,1) / U(:,:,2)).
+    (the reference's U(:,:,1) / U(:,:,2)). collect: optional list of
+    per-level (U0, U1), coarsest first.
     """
     p = with_overrides(params or DisparitySymParams(), **overrides)
     a = jnp.asarray(il, dtype=jnp.float32)
@@ -174,6 +177,8 @@ def disparity_sym(il, ir, params: DisparitySymParams | None = None, **overrides)
             u1 = jnp.zeros((h, w), jnp.float32)
         sr_diff = 2.0 * (1.0 / p.scl_factor) ** (-(lvl))  # srDiff (:126)
         u0, u1 = level_fn(u0, u1, l0, l1, sr_diff)
+        if collect is not None:
+            collect.append((u0, u1))
         if lvl > 0:
             nh, nw = levels[lvl - 1][0].shape[-2:]
             u0 = imresize(u0 / p.scl_factor, (nh, nw), "bilinear")

@@ -29,7 +29,7 @@ from pde_tpu.models.flow_nd import _fst_tensors, _snd_tensors
 from pde_tpu.ops.derivatives import rgb2grad
 from pde_tpu.ops.warp import warp_by_flow
 from pde_tpu.ops.weights import tensor_diffusion_weights_8
-from pde_tpu.solvers.sor import sor_flow_llin8
+from pde_tpu.kernels.dispatch import sor_flow_llin8
 from pde_tpu.solvers.krylov import pcg_flow_llin8
 
 
@@ -48,7 +48,8 @@ class FlowADParams:
     b1: float = 1.4843
     b2: float = 0.2915
     scl_factor: float = 0.75
-    solver: int = 2
+    # TPU-native default (see FlowNDParams.solver note)
+    solver: int = 1
     scales: int = 10**9
 
 
@@ -126,9 +127,13 @@ def _ad_level(u, v, it0, i1t0, i1t1, i2t0, i2t1, us_ap, vs_ap, as_diff,
 
 
 def flow_ad(it0, it1, fst_term: str = "grad", snd_term: str = "gradmag",
-            params: FlowADParams | None = None, us=None, vs=None, **overrides):
+            params: FlowADParams | None = None, us=None, vs=None,
+            collect: list | None = None, **overrides):
     """Anisotropic-diffusion warping flow. it0/it1: (C, H, W) or (H, W)
-    uint8-range images. Returns (U, V) float32 (H, W)."""
+    uint8-range images. Returns (U, V) float32 (H, W).
+
+    collect: optional list; per-level (U, V) appended coarsest-first
+    (before upscaling) for level-by-level golden parity."""
     p = with_overrides(params or FlowADParams(), **overrides)
     fst_term = fst_term.lower()
     snd_term = snd_term.lower()
@@ -174,6 +179,8 @@ def flow_ad(it0, it1, fst_term: str = "grad", snd_term: str = "gradmag",
             u, v, l0, fst_img(l0), fst_img(l1), snd_img(l0), snd_img(l1),
             us_lv[lvl], vs_lv[lvl], as_diff,
         )
+        if collect is not None:
+            collect.append((u, v))
         if lvl > 0:
             nh, nw = levels[lvl - 1][0].shape[-2:]
             u = imresize(u / p.scl_factor, (nh, nw), "triangle")

@@ -20,8 +20,8 @@ The only reference driver with a residual / LHS operator split:
     - recurse, then coarse-grid correction
       ``U += bilinear_upsample((Uc - Ures)/scl_factor)`` (:256-257),
     - postsmooth;
-* inter-level flow upscale by ``1/scl_factor`` (:179-182, default
-  bicubic ``imresize`` -- we use bilinear, a within-tolerance substitute).
+* inter-level flow upscale by ``1/scl_factor`` (:179-182, MATLAB default
+  ``imresize`` method = bicubic; matched exactly).
 
 Input stays in the 0-255 domain (:70-72); the temporal and mixed
 derivative kernels carry the /255 scaling instead (:88-90).
@@ -49,7 +49,8 @@ from pde_tpu.core.conv import (
 from pde_tpu.core.resize import imresize
 from pde_tpu.ops.derivatives import SMOOTHER5, FST_DERIVATOR5, SND_DERIVATOR5
 from pde_tpu.ops.weights import diffusion_weights_4
-from pde_tpu.solvers.sor import sor_flow_elin4, residuals_elin4, lhs_elin4
+from pde_tpu.kernels.dispatch import sor_flow_elin4
+from pde_tpu.solvers.sor import residuals_elin4, lhs_elin4
 from pde_tpu.solvers.krylov import pcg_flow_elin4
 
 # full-weighting restriction stencil (FlowEminNDFASFMG_elin_2D_v10.m:198)
@@ -67,6 +68,8 @@ class FlowFMGParams:
     b1: float = 0.03
     b2: float = 0.97
     scl_factor: float = 0.5
+    # stays on the line-implicit PCG smoother: the FAS trajectory is
+    # smoother-sensitive (4.7% vs the ALR golden with red-black)
     solver: int = 2
     cycle_index: int = 1
     scales: int = 10**9
@@ -84,12 +87,13 @@ def _restrict(x, scl_factor):
 def _derivative_tensors(it0, it1, p: "FlowFMGParams"):
     """Per-level derivative stacks (FlowEminNDFASFMG_elin_2D_v10.m:123-150).
 
-    The driver's imfilter calls use 'conv' (flipped kernels); the smoothing
-    prefilter and 2nd derivator are symmetric, the 1st derivator is
-    antisymmetric — so correlation with the *unnegated* O_dx of the m-file
-    equals its convolution with our sign-flipped FST_DERIVATOR5.
+    The driver's imfilter calls use 'conv' (flipped kernels): convolution
+    by the m-file's O_dx = [+.10455 +.292315 0 -.292315 -.10455] equals
+    correlation by its flip, which is exactly FST_DERIVATOR5. (Round 2
+    negated this and produced a globally sign-flipped flow field — caught
+    by the level-by-level golden parity suite.)
     """
-    o_dx = -FST_DERIVATOR5  # m-file O_dx correlated == conv'd by reference
+    o_dx = FST_DERIVATOR5  # conv by m-file O_dx == corr by FST_DERIVATOR5
     ist = (it0 + it1) * (0.55 / 255.0)
     idt = (it0 - it1) / 255.0
     idx = separable_filter(ist, SMOOTHER5, o_dx)
@@ -153,9 +157,18 @@ def _smooth(u, v, t, c, cu, cv, p: "FlowFMGParams", want_residuals: bool):
     return u, v, ru, rv
 
 
-def _fas_cycle(u, v, tensors, consts, cu, cv, lvl, n_levels, p: "FlowFMGParams"):
+def _fas_cycle(u, v, tensors, consts, cu, cv, lvl, n_levels, p: "FlowFMGParams",
+               mesh=None, shard_min: int = 64):
     """FAS V/W cycle (FlowEminNDFASFMG_elin_2D_v10.m:193-273). lvl indexes
-    fine->coarse; recursion is unrolled (static depth)."""
+    fine->coarse; recursion is unrolled (static depth).
+
+    mesh: optional ("ty", "tx") device mesh — fields stay spatially
+    sharded while min(H, W) >= shard_min and are regathered (replicated)
+    below it, the multigrid coarse-level consolidation of SURVEY 2.3."""
+    if mesh is not None:
+        from pde_tpu.parallel.model import constrain_level
+        u = constrain_level(u, mesh, shard_min)
+        v = constrain_level(v, mesh, shard_min)
     t, c = tensors[lvl], consts[lvl]
     if lvl == n_levels - 1:
         return _smooth(u, v, t, c, cu, cv, p, want_residuals=False)
@@ -168,6 +181,12 @@ def _fas_cycle(u, v, tensors, consts, cu, cv, lvl, n_levels, p: "FlowFMGParams")
         rv_res = _restrict(rv, p.scl_factor)
         u_res = _restrict(u, p.scl_factor)
         v_res = _restrict(v, p.scl_factor)
+        if mesh is not None:
+            from pde_tpu.parallel.model import constrain_level
+            ru_res = constrain_level(ru_res, mesh, shard_min)
+            rv_res = constrain_level(rv_res, mesh, shard_min)
+            u_res = constrain_level(u_res, mesh, shard_min)
+            v_res = constrain_level(v_res, mesh, shard_min)
 
         gd = 1.0 / (p.alpha * jnp.sqrt(_opnorm(tc, u_res, v_res, p) + 1e-5))
         ww, wn, we, ws = diffusion_weights_4(jnp.stack([u_res, v_res]), eps=1e-5, combine="sum")
@@ -178,7 +197,8 @@ def _fas_cycle(u, v, tensors, consts, cu, cv, lvl, n_levels, p: "FlowFMGParams")
         fu = (ru_res + au) / gd
         fv = (rv_res + av) / gd
 
-        uc, vc = _fas_cycle(u_res, v_res, tensors, consts, fu, fv, lvl + 1, n_levels, p)
+        uc, vc = _fas_cycle(u_res, v_res, tensors, consts, fu, fv, lvl + 1,
+                            n_levels, p, mesh, shard_min)
 
         shape = u.shape[-2:]
         u = u + imresize((uc - u_res) / p.scl_factor, shape, "bilinear")
@@ -188,9 +208,16 @@ def _fas_cycle(u, v, tensors, consts, cu, cv, lvl, n_levels, p: "FlowFMGParams")
     return u, v
 
 
-def flow_fmg(it0, it1, params: FlowFMGParams | None = None, **overrides):
+def flow_fmg(it0, it1, params: FlowFMGParams | None = None,
+             collect: list | None = None, mesh=None, shard_min: int = 64,
+             **overrides):
     """FAS-FMG early-linearisation flow. it0/it1: (H, W) or (C, H, W)
-    uint8-range images. Returns (U, V) float32 (H, W)."""
+    uint8-range images. Returns (U, V) float32 (H, W).
+
+    collect: optional list; (U, V) after each top-level FAS cycle is
+    appended coarsest-first for level-by-level golden parity.
+    mesh: optional ("ty", "tx") jax Mesh — fine FAS levels run spatially
+    sharded, coarse levels (< shard_min px) regather to replicated."""
     p = with_overrides(params or FlowFMGParams(), **overrides)
     a = jnp.asarray(it0, dtype=jnp.float32)
     b = jnp.asarray(it1, dtype=jnp.float32)
@@ -212,7 +239,8 @@ def flow_fmg(it0, it1, params: FlowFMGParams | None = None, **overrides):
     consts = [_constancy(t, p) for t in tensors]
     n = len(levels)
 
-    cycle = jax.jit(partial(_fas_cycle, n_levels=n, p=p), static_argnames=("lvl",))
+    cycle = jax.jit(partial(_fas_cycle, n_levels=n, p=p, mesh=mesh,
+                            shard_min=shard_min), static_argnames=("lvl",))
 
     u = v = None
     for lvl in range(n - 1, -1, -1):
@@ -221,8 +249,11 @@ def flow_fmg(it0, it1, params: FlowFMGParams | None = None, **overrides):
             u = jnp.zeros((h, w), jnp.float32)
             v = jnp.zeros((h, w), jnp.float32)
         u, v = cycle(u, v, tensors, consts, consts[lvl]["cu"], consts[lvl]["cv"], lvl=lvl)
+        if collect is not None:
+            collect.append((u, v))
         if lvl > 0:
             nh, nw = levels[lvl - 1][0].shape[-2:]
-            u = imresize(u / p.scl_factor, (nh, nw), "bilinear")
-            v = imresize(v / p.scl_factor, (nh, nw), "bilinear")
+            # MATLAB imresize default method (bicubic), :179-182
+            u = imresize(u / p.scl_factor, (nh, nw), "bicubic")
+            v = imresize(v / p.scl_factor, (nh, nw), "bicubic")
     return u, v

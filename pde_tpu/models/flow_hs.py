@@ -27,7 +27,7 @@ from pde_tpu.core.median import medfilt2_3x3
 from pde_tpu.core.pyramid import build_pyramid
 from pde_tpu.core.resize import imresize
 from pde_tpu.ops.derivatives import SMOOTHER5, FST_DERIVATOR5, SND_DERIVATOR5
-from pde_tpu.solvers.sor import sor_flow_elin4
+from pde_tpu.kernels.dispatch import sor_flow_elin4
 from pde_tpu.solvers.krylov import pcg_flow_elin4
 
 
@@ -41,6 +41,9 @@ class FlowHSParams:
     b1: float = 0.25
     b2: float = 0.75
     scl_factor: float = 0.75
+    # stays on the line-implicit PCG: the HS system is diffusion-
+    # dominated/near-singular and pointwise relaxation converges too
+    # slowly at any practical sweep count (33% AEE at iter=200)
     solver: int = 2
     scales: int = 10**9
 

@@ -38,7 +38,7 @@ from pde_tpu.core.resize import imresize
 from pde_tpu.ops.derivatives import fst_derivatives5, snd_derivatives5, rgb2grad
 from pde_tpu.ops.warp import warp_by_flow
 from pde_tpu.ops.weights import diffusion_weights_4
-from pde_tpu.solvers.sor import sor_flow_llin4
+from pde_tpu.kernels.dispatch import sor_flow_llin4
 from pde_tpu.solvers.krylov import pcg_flow_llin4
 
 
@@ -55,7 +55,12 @@ class FlowNDParams:
     b1: float = 1.4843
     b2: float = 0.2915
     scl_factor: float = 0.75
-    solver: int = 2
+    # TPU-native default: the Pallas-dispatched red-black path (solver=1)
+    # relaxes the same border-inclusive system as the reference's
+    # default ALR and lands within 1.5% AEE of the sequential-ALR
+    # golden at the reference iter=4 (tests/test_golden.py); solver=2
+    # selects the line-implicit PCG (reference-trajectory parity).
+    solver: int = 1
     scales: int = 10**9
 
 
@@ -149,11 +154,13 @@ def _nd_level(u, v, i1t0, i1t1, i2t0, i2t1, us_ap, vs_ap, as_diff, p: "FlowNDPar
 
 
 def flow_nd(it0, it1, fst_term: str = "grad", snd_term: str = "gradmag",
-            params: FlowNDParams | None = None, us=None, vs=None, **overrides):
+            params: FlowNDParams | None = None, us=None, vs=None,
+            collect: list | None = None, **overrides):
     """Warping flow. it0/it1: (C, H, W) or (H, W) uint8-range images.
 
     us/vs: optional spatial prior flow fields (H, W) (param.Us/Vs).
-    Returns (U, V) float32 (H, W).
+    Returns (U, V) float32 (H, W). collect: optional list; per-level
+    (U, V) appended coarsest-first for level-by-level golden parity.
     """
     p = with_overrides(params or FlowNDParams(), **overrides)
     fst_term = fst_term.lower()
@@ -205,6 +212,8 @@ def flow_nd(it0, it1, fst_term: str = "grad", snd_term: str = "gradmag",
             u, v, fst_img(l0), fst_img(l1), snd_img(l0), snd_img(l1),
             us_lv[lvl], vs_lv[lvl], as_diff,
         )
+        if collect is not None:
+            collect.append((u, v))
         if lvl > 0:
             nh, nw = levels[lvl - 1][0].shape[-2:]
             u = imresize(u / p.scl_factor, (nh, nw), "triangle")

@@ -114,10 +114,17 @@ def _delta_heaviside(phi, floor=None):
 @partial(jax.jit, static_argnames=("riter", "order", "inlier_lt_100"))
 def _seed_iter(key, phi, d, d_fit, include, h1eq, min_cov, gamma_scl, rcons, tau,
                riter: int, order: int, inlier_lt_100: bool):
-    """One seed-growth iteration: RANSAC fit + likelihood DATA + CV step."""
+    """One seed-growth iteration: RANSAC fit + likelihood DATA + CV step.
+
+    The reference aborts a seed when its support drops under 20 px
+    (SIG_emptysegment, DispSegmentation.m:332-335); here that check is a
+    traced ``alive`` gate — a dead seed's state passes through unchanged,
+    so the host only needs ONE device sync per pyramid stage (on the
+    returned flag) instead of one per iteration."""
     h, w = d.shape
     feats = surface_features(h, w, order)
     h1 = phi >= 0.0
+    alive = jnp.sum(h1) >= 20
     model, dist_d = ransac_surface(key, d_fit, h1, feats, 0.7, rcons, riter,
                                    model_in=h1eq)
     h1sum = jnp.sum(h1)
@@ -136,8 +143,10 @@ def _seed_iter(key, phi, d, d_fit, include, h1eq, min_cov, gamma_scl, rcons, tau
     data = jnp.where(include, data, -2.0)
     dh = _delta_heaviside(phi)
     grad = _grad_mag(phi)
-    phi = cv_aos_step(phi, data, dh, grad, tau, gamma_scl)
-    return phi, model, cov_raw
+    phi_new = cv_aos_step(phi, data, dh, grad, tau, gamma_scl)
+    phi = jnp.where(alive, phi_new, phi)
+    model = jnp.where(alive, model, h1eq)
+    return phi, model, cov_raw, alive
 
 
 def _generate_seeds(d_levels, d_fit_levels, pyramid, order, sigma_lim, cset_vect,
@@ -187,15 +196,17 @@ def _generate_seeds(d_levels, d_fit_levels, pyramid, order, sigma_lim, cset_vect
                     rcons = cset_vect[min(it, len(cset_vect) - 1)]
                 else:
                     rcons = cset_vect[-1]
-                if int(jnp.sum(phi >= 0.0)) < 20:
-                    sig_empty = True
-                    break
                 key, sub = jax.random.split(key)
-                phi, h1eq, last_cov = _seed_iter(
+                # dead seeds pass through unchanged inside _seed_iter (the
+                # traced `alive` gate), so no per-iteration host sync
+                phi, h1eq, last_cov, _alive = _seed_iter(
                     sub, phi, d_levels[scl], d_fit_levels[scl], include, h1eq,
                     min_cov, gamma_scl, rcons, tau,
                     riter=riter, order=order, inlier_lt_100=inlier_lt_100,
                 )
+            # ONE device sync per pyramid stage (SIG_emptysegment, :332-335)
+            if not bool(jnp.sum(phi >= 0.0) >= 20):
+                sig_empty = True
 
             if sig_empty:
                 gamma = gamma * 0.8
@@ -213,8 +224,7 @@ def _generate_seeds(d_levels, d_fit_levels, pyramid, order, sigma_lim, cset_vect
         if not sig_empty:
             phi_out.append(phi)
             models_out.append(h1eq)
-            aa[0] = jnp.asarray((np.asarray(phi) < 0) & (np.asarray(aa[0]) > 0),
-                                jnp.float32)
+            aa[0] = ((phi < 0) & (aa[0] > 0)).astype(jnp.float32)
 
     return phi_out, models_out, key
 
@@ -225,15 +235,18 @@ def _generate_seeds(d_levels, d_fit_levels, pyramid, order, sigma_lim, cset_vect
 
 
 @partial(jax.jit, static_argnames=("order", "strategy", "inlier_lt_100"))
-def _rc_recompute(key, phi, d, d_fit, surface, min_cov, cset,
+def _rc_recompute(key, phi, d, d_fit, surface, min_cov, cset, alive,
                   order: int, strategy: str, inlier_lt_100: bool):
     """Per-segment RANSAC refit + likelihoods + competition DATA term.
 
-    phi: (S, H, W); surface: (S, k) warm starts. Returns (DATA, DH,
-    gradPHI, surface, cov)."""
+    phi: (S, H, W) fixed-capacity slots; alive: (S,) slot mask (purged
+    segments stay in the stack but stop competing — SURVEY 7.3 #4's
+    alive-mask design, replacing the reference's in-place deletion,
+    DispSegmentation.m:505-529); surface: (S, k) warm starts. Returns
+    (DATA, DH, gradPHI, surface, cov)."""
     s, h, w = phi.shape
     feats = surface_features(h, w, order)
-    h1 = phi >= 0.0
+    h1 = (phi >= 0.0) & alive[:, None, None]
 
     keys = jax.random.split(key, s)
 
@@ -255,6 +268,9 @@ def _rc_recompute(key, phi, d, d_fit, surface, min_cov, cset,
 
     norm = 1.0 / jnp.sqrt(2.0 * np.pi * cov)  # (S,)
     p = norm[:, None, None] * jnp.exp(-dist_d / (2.0 * cov)[:, None, None])
+    # dead slots claim nothing and contribute nothing to the competition
+    p = jnp.where(alive[:, None, None], p, 0.0)
+    surface = jnp.where(alive[:, None], surface, 0.0)
 
     dh = _delta_heaviside(phi, floor=0.06)  # (:535-536)
     grad = _grad_mag(phi)
@@ -283,9 +299,18 @@ def _rc_recompute(key, phi, d, d_fit, surface, min_cov, cset,
     return data, dh, grad, surface, cov
 
 
-@partial(jax.jit, static_argnames=())
-def _rc_cv_step(phi, data, dh, grad, tau, gamma):
-    return cv_aos_step(phi, data, dh, grad, tau, gamma)
+@jax.jit
+def _rc_cv_step(phi, data, dh, grad, tau, gamma, alive):
+    out = cv_aos_step(phi, data, dh, grad, tau, gamma)
+    return jnp.where(alive[:, None, None], out, -5.0)
+
+
+@jax.jit
+def _rc_purge(phi, alive, thr_px):
+    """Small-segment purge (:505-529) as an alive-mask update — no
+    device->host sync, no shape change."""
+    sizes = jnp.sum(phi >= 0.0, axis=(1, 2))
+    return alive & (sizes >= thr_px)
 
 
 def _region_competition(d_levels, d_fit_levels, pyramid, order, sigma_lim,
@@ -300,7 +325,9 @@ def _region_competition(d_levels, d_fit_levels, pyramid, order, sigma_lim,
         phi_levels.append(imresize(phi_levels[i - 1], shapes[i], "bicubic"))
 
     min_cov = float(sigma_lim)
-    surface = None
+    s = phi_levels[0].shape[0]
+    surface = jnp.zeros((s, 3 if order == 1 else 6), jnp.float32)
+    alive = jnp.ones((s,), bool)
     phi = None
 
     for cscl in range(len(pyramid) - 1):
@@ -308,35 +335,29 @@ def _region_competition(d_levels, d_fit_levels, pyramid, order, sigma_lim,
         h, w = shapes[scl]
         gamma = gamma_coef * float((h * w) ** 0.7)
         phi = phi_levels[scl] if phi is None else imresize(phi, (h, w), "bicubic")
-        s = phi.shape[0]
-        if surface is None or surface.shape[0] != s:
-            surface = jnp.zeros((s, 3 if order == 1 else 6), jnp.float32)
         data = dh = grad = None
-        recalc = True
 
         for it in range(iterations):
-            # small-segment purge (:505-529)
-            h1sizes = np.asarray(jnp.sum(phi >= 0.0, axis=(1, 2)))
-            keep = h1sizes >= srem_thr * h * w
-            if not keep.all():
-                if keep.sum() == 0:
-                    return [], jnp.zeros((0, 3 if order == 1 else 6)), key
-                phi = phi[np.where(keep)[0]]
-                s = phi.shape[0]
-                surface = jnp.zeros((s, 3 if order == 1 else 6), jnp.float32)
-                recalc = True
-
-            if it % 2 == 0 or recalc:  # mod(iter,2) with 1-based iter (:531)
+            # purge on-device; a purged slot takes effect in the
+            # competition DATA at the next scheduled recompute (<= 1
+            # iteration later) instead of the reference's immediate
+            # recompute — the cost of keeping the loop sync-free
+            alive = _rc_purge(phi, alive, srem_thr * h * w)
+            if it % 2 == 0:  # mod(iter,2) with 1-based iter (:531)
                 key, sub = jax.random.split(key)
                 data, dh, grad, surface, _ = _rc_recompute(
                     sub, phi, d_levels[scl], d_fit_levels[scl], surface,
-                    min_cov, jnp.float32(cset), order=order, strategy=strategy,
-                    inlier_lt_100=inlier_lt_100,
+                    min_cov, jnp.float32(cset), alive, order=order,
+                    strategy=strategy, inlier_lt_100=inlier_lt_100,
                 )
-                recalc = False
-            phi = _rc_cv_step(phi, data, dh, grad, tau, gamma)
+            phi = _rc_cv_step(phi, data, dh, grad, tau, gamma, alive)
 
-    return [phi[i] for i in range(phi.shape[0])], surface, key
+        # one host sync per pyramid stage: all segments gone?
+        if not bool(jnp.any(alive)):
+            return [], jnp.zeros((0, 3 if order == 1 else 6)), key
+
+    keep = np.where(np.asarray(alive))[0]
+    return [phi[i] for i in keep], surface[jnp.asarray(keep)], key
 
 
 # ---------------------------------------------------------------------------

@@ -30,7 +30,7 @@ from pde_tpu.core.conv import imfilter_replicate, gaussian_kernel_2d
 from pde_tpu.core.resize import imresize, imresize_scale
 from pde_tpu.core.pyramid import pyramid_scales
 from pde_tpu.ops.weights import diffusion_weights_4, tensor_diffusion_weights_8
-from pde_tpu.solvers.sor import sor_pde4, sor_pde8
+from pde_tpu.kernels.dispatch import sor_pde4, sor_pde8
 from pde_tpu.solvers.krylov import pcg_pde4, pcg_pde8
 
 _EPS_D = float(np.finfo(np.float64).eps)  # MATLAB `eps`
@@ -44,7 +44,7 @@ class TVDenoise4Params:
     omega: float = 1.75
     outer_iter: int = 10
     inner_iter: int = 5
-    solver: int = 2
+    solver: int = 1  # TPU-native default (red-black kernel path)
     scl: float = 0.5
     scl_factor: float = 0.75
 
@@ -57,7 +57,7 @@ class TVDenoise8Params:
     omega: float = 1.75
     outer_iter: int = 20
     inner_iter: int = 4
-    solver: int = 2
+    solver: int = 1  # TPU-native default (red-black kernel path)
     scl: float = 0.75
     scl_factor: float = 0.75
     quantile: float = 0.5  # ADdiffWeights default (TVdenoise8.m:147)

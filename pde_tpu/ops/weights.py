@@ -15,10 +15,13 @@ Capability map to the reference:
   discretised onto W/NW/N/NE/E/SE/S/SW stencil weights by averaging tensor
   entries with the respective neighbour.
 
-Neighbour averaging uses replicate shifts instead of MATLAB's circshift
-wrap-around: the wrapped values only ever land on border pixels, which the
-solvers never read (interior-only updates) or which are zeroed explicitly.
-Replicate keeps halo exchange semantics clean under spatial sharding.
+Neighbour averaging uses MATLAB ``circshift`` wrap-around semantics
+(``jnp.roll``): the wrapped values land only on the 1-px border ring, but
+the line-implicit solvers (ALR/PCG) DO include border pixels as unknowns,
+so replicate-vs-wrap there is a measurable parity error (~0.05 px mean
+flow EPE against the reference, caught by the flow_ad golden suite). The
+zero-border variants (DdiffWeights / TVdenoise) are wrap-indifferent —
+every wrapped position is zeroed.
 """
 
 from __future__ import annotations
@@ -28,8 +31,23 @@ import math
 import numpy as np
 import jax.numpy as jnp
 
-from pde_tpu.core.grid import shift_w, shift_e, shift_n, shift_s
 from pde_tpu.core.conv import imfilter_replicate
+
+
+def _cs_w(x):  # value of the west neighbour, wrapping (circshift [0 1])
+    return jnp.roll(x, 1, axis=-1)
+
+
+def _cs_e(x):
+    return jnp.roll(x, -1, axis=-1)
+
+
+def _cs_n(x):
+    return jnp.roll(x, 1, axis=-2)
+
+
+def _cs_s(x):
+    return jnp.roll(x, -1, axis=-2)
 
 _CDIFF = np.array([0.25, 0.0, -0.25], dtype=np.float32)
 
@@ -61,10 +79,10 @@ def diffusion_weights_4(
     def sq(d, g):
         return d * d + g * g
 
-    ww = sq(shift_w(fields) - fields, fver + shift_w(fver))
-    we = sq(shift_e(fields) - fields, fver + shift_e(fver))
-    wn = sq(shift_n(fields) - fields, fhor + shift_n(fhor))
-    ws = sq(shift_s(fields) - fields, fhor + shift_s(fhor))
+    ww = sq(_cs_w(fields) - fields, fver + _cs_w(fver))
+    we = sq(_cs_e(fields) - fields, fver + _cs_e(fver))
+    wn = sq(_cs_n(fields) - fields, fhor + _cs_n(fhor))
+    ws = sq(_cs_s(fields) - fields, fhor + _cs_s(fhor))
 
     red = jnp.sum if combine == "sum" else jnp.max
     ww, we, wn, ws = (red(w, axis=0) for w in (ww, we, wn, ws))
@@ -134,14 +152,14 @@ def tensor_diffusion_weights_8(
     dxx = multip * (max_dx * max_dx + lam)
     dxy = -multip * (max_dx * max_dy)
 
-    w_ = 0.5 * (dyy + shift_w(dyy))
-    nw = 0.25 * (dxy + shift_n(shift_w(dxy)))
-    n_ = 0.5 * (dxx + shift_n(dxx))
-    ne = -0.25 * (dxy + shift_n(shift_e(dxy)))
-    e_ = 0.5 * (dyy + shift_e(dyy))
-    se = 0.25 * (dxy + shift_s(shift_e(dxy)))
-    s_ = 0.5 * (dxx + shift_s(dxx))
-    sw = -0.25 * (dxy + shift_s(shift_w(dxy)))
+    w_ = 0.5 * (dyy + _cs_w(dyy))
+    nw = 0.25 * (dxy + _cs_n(_cs_w(dxy)))
+    n_ = 0.5 * (dxx + _cs_n(dxx))
+    ne = -0.25 * (dxy + _cs_n(_cs_e(dxy)))
+    e_ = 0.5 * (dyy + _cs_e(dyy))
+    se = 0.25 * (dxy + _cs_s(_cs_e(dxy)))
+    s_ = 0.5 * (dxx + _cs_s(dxx))
+    sw = -0.25 * (dxy + _cs_s(_cs_w(dxy)))
 
     if zero_borders:
         w_ = w_.at[:, 0].set(0.0)

@@ -78,6 +78,34 @@ def _global_masks(h: int, w: int):
     return inter & (color == 0), inter & (color == 1)
 
 
+def _full_masks(h: int, w: int):
+    """(color0, color1) over ALL global pixels (border-solving families)."""
+    nty = _axis_or_one("ty")
+    ntx = _axis_or_one("tx")
+    ti = lax.axis_index("ty") if nty > 1 else 0
+    tj = lax.axis_index("tx") if ntx > 1 else 0
+    gi = ti * h + jnp.arange(h)[:, None]
+    gj = tj * w + jnp.arange(w)[None, :]
+    color = (gi + gj) % 2
+    return color == 0, color == 1
+
+
+def _global_edge_masks(h: int, w: int):
+    """(left, top, right, bottom) global-edge masks for a local tile."""
+    nty = _axis_or_one("ty")
+    ntx = _axis_or_one("tx")
+    ti = lax.axis_index("ty") if nty > 1 else 0
+    tj = lax.axis_index("tx") if ntx > 1 else 0
+    gi = ti * h + jnp.arange(h)[:, None]
+    gj = tj * w + jnp.arange(w)[None, :]
+    gh, gw = nty * h, ntx * w
+    left = jnp.broadcast_to(gj == 0, (h, w))
+    right = jnp.broadcast_to(gj == gw - 1, (h, w))
+    top = jnp.broadcast_to(gi == 0, (h, w))
+    bot = jnp.broadcast_to(gi == gh - 1, (h, w))
+    return left, top, right, bot
+
+
 def _tiled_replicate_border(x):
     """Global 1-px replicated border fill (opticalflowSolvers.c:156-179):
     rows first then columns, applied only on mesh-edge tiles."""
@@ -102,7 +130,10 @@ def _tiled_replicate_border(x):
 def _tiled_flow_llin4_local(u, v, du, dv, m, cu, cv, duc, dvc,
                             ww, wn, we, ws, iters: int, omega: float):
     h, w = u.shape[-2:]
-    mask0, mask1 = _global_masks(h, w)
+    # border-solving convention (solvers/sor.py): all pixels relax, the
+    # out-facing weights vanish on GLOBAL image edges only
+    mask0, mask1 = _full_masks(h, w)
+    ww, wn, we, ws = _tile_edge_zeroed4(ww, wn, we, ws)
     wsum = ww + wn + we + ws
     cu_nan = jnp.isnan(cu)
     cv_nan = jnp.isnan(cv)
@@ -117,11 +148,12 @@ def _tiled_flow_llin4_local(u, v, du, dv, m, cu, cv, duc, dvc,
         return (ww * dw + wn * dn + we * de + ws * ds) - f * wsum
 
     def half(fu, fv, mask):
+        # v uses the refreshed u (GS coupling, cf. solvers/sor.py)
         su = diff_term(fu + u, u)
         sv = diff_term(fv + v, v)
         num_u = jnp.where(cu_nan, su, su + cu0 - m0 * fv)
-        num_v = jnp.where(cv_nan, sv, sv + cv0 - m0 * fu)
         new_u = jnp.where(mask, (1.0 - omega) * fu + omega * num_u * inv_u, fu)
+        num_v = jnp.where(cv_nan, sv, sv + cv0 - m0 * new_u)
         new_v = jnp.where(mask, (1.0 - omega) * fv + omega * num_v * inv_v, fv)
         return new_u, new_v
 
@@ -129,7 +161,7 @@ def _tiled_flow_llin4_local(u, v, du, dv, m, cu, cv, duc, dvc,
         fu, fv = state
         fu, fv = half(fu, fv, mask0)
         fu, fv = half(fu, fv, mask1)
-        return _tiled_replicate_border(fu), _tiled_replicate_border(fv)
+        return fu, fv
 
     return lax.fori_loop(0, iters, body, (du, dv))
 
@@ -269,3 +301,108 @@ def tiled_pcg_flow_llin4(mesh: Mesh, u, v, du, dv, m, cu, cv, duc, dvc,
         out_specs=(spec, spec),
     )
     return jax.jit(fn)(u, v, du, dv, m, cu, cv, duc, dvc, ww, wn, we, ws)
+
+
+# ---------------------------------------------------------------------------
+# Generic tiled red-black relaxation: any kernels/sweeps.py factory
+# ---------------------------------------------------------------------------
+
+
+def _tiled_shift(dr: int, dc: int):
+    """Neighbour-value shift with cross-tile halo exchange (the tiled
+    equivalent of core.grid.shift_*; global edges replicate)."""
+
+    def shift(x):
+        xp = halo_exchange(x, 1)
+        h, w = x.shape[-2:]
+        return xp[..., 1 + dr:1 + dr + h, 1 + dc:1 + dc + w]
+
+    return shift
+
+
+def _tiled_sweep_aux(h: int, w: int):
+    """SweepAux (kernels/sweeps.py contract) for a shard_map tile body."""
+    from pde_tpu.kernels.tiled import SweepAux
+
+    mask0, mask1 = _global_masks(h, w)
+    maskf0, maskf1 = _full_masks(h, w)
+    left, top, right, bot = _global_edge_masks(h, w)
+    return SweepAux(
+        mask0=mask0,
+        mask1=mask1,
+        border=_tiled_replicate_border,
+        maskf0=maskf0,
+        maskf1=maskf1,
+        edge_w=left,
+        edge_n=top,
+        edge_e=right,
+        edge_s=bot,
+        shift_w=_tiled_shift(0, -1),
+        shift_n=_tiled_shift(-1, 0),
+        shift_e=_tiled_shift(0, 1),
+        shift_s=_tiled_shift(1, 0),
+    )
+
+
+def tiled_relax_sharded(mesh: Mesh, sweep_factory, fields, n_mut: int,
+                        iters: int, omega: float):
+    """Run ``iters`` global red-black sweeps of any ``kernels/sweeps.py``
+    factory with (H, W) fields sharded over mesh axes ("ty", "tx").
+
+    Identical numerics to the single-chip solvers: each sweep's halo
+    exchange delivers refreshed opposite-color neighbours, and the global
+    1-px replicated border is re-filled on mesh-edge tiles
+    (opticalflowSolvers.c:156-179). Returns the n_mut relaxed fields."""
+    prepare, sweep = sweep_factory(float(omega))
+
+    def local(*fs):
+        mut = list(fs[:n_mut])
+        const = list(fs[n_mut:])
+        h, w = mut[0].shape[-2:]
+        aux = _tiled_sweep_aux(h, w)
+        if prepare is not None:
+            const = prepare(const, aux)
+
+        def body(_, state):
+            return tuple(sweep(list(state), const, aux))
+
+        return lax.fori_loop(0, iters, body, tuple(mut))
+
+    spec = P("ty", "tx")
+    fn = shard_map(local, mesh=mesh, in_specs=(spec,) * len(fields),
+                   out_specs=(spec,) * n_mut)
+    return jax.jit(fn)(*fields)
+
+
+def tiled_sor_flow_elin4(mesh, u, v, m, cu, cv, duc, dvc, ww, wn, we, ws,
+                         iters: int, omega: float):
+    from pde_tpu.kernels import sweeps
+    return tiled_relax_sharded(
+        mesh, sweeps.flow_elin4_sweep,
+        (u, v, m, cu, cv, duc, dvc, ww, wn, we, ws), 2, iters, omega)
+
+
+def tiled_sor_flow_llin8(mesh, u, v, du, dv, m, cu, cv, duc, dvc,
+                         ww, wnw, wn, wne, we, wse, ws, wsw,
+                         iters: int, omega: float):
+    from pde_tpu.kernels import sweeps
+    return tiled_relax_sharded(
+        mesh, sweeps.flow_llin8_sweep,
+        (du, dv, u, v, m, cu, cv, duc, dvc,
+         ww, wnw, wn, wne, we, wse, ws, wsw), 2, iters, omega)
+
+
+def tiled_sor_disp_llin4(mesh, u, du, cu, duc, ww, wn, we, ws,
+                         iters: int, omega: float):
+    from pde_tpu.kernels import sweeps
+    return tiled_relax_sharded(
+        mesh, sweeps.disp_llin4_sweep,
+        (du, u, cu, duc, ww, wn, we, ws), 1, iters, omega)[0]
+
+
+def tiled_sor_pde4(mesh, x, trace, b, ww, wn, we, ws,
+                   iters: int, omega: float):
+    from pde_tpu.kernels import sweeps
+    return tiled_relax_sharded(
+        mesh, sweeps.pde4_sweep,
+        (x, trace, b, ww, wn, we, ws), 1, iters, omega)[0]

@@ -18,7 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 from pde_tpu.utils.io import load_yosemite, load_image_pair
-from tests.oracle import flow_nd_oracle, flow_hs_oracle, tv_denoise4_oracle
+from tests.oracle import (flow_nd_oracle, flow_hs_oracle, tv_denoise4_oracle,
+                          disp_nd_oracle, flow_ad_oracle, flow_fmg_oracle,
+                          disp_sym_oracle)
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "tests", "golden")
@@ -46,12 +48,56 @@ def main():
     np.savez(os.path.join(OUT, "flow_hs_yosemite.npz"), u=uh, v=vh)
     print(f"[{time.time()-t0:6.1f}s] flow_hs golden: |u| med {np.median(np.abs(uh)):.3f}")
 
-    bb, _ = load_image_pair("beanbags")
+    # FAS-FMG flow on Yosemite (runme.m:90 input), V-cycle defaults,
+    # per-top-level-cycle intermediates
+    lvf = []
+    uf, vf = flow_fmg_oracle(y0c, y1c, collect=lvf)
+    np.savez(os.path.join(OUT, "flow_fmg_yosemite.npz"), u=uf, v=vf,
+             **{f"level_{i}_u": p[0] for i, p in enumerate(lvf)},
+             **{f"level_{i}_v": p[1] for i, p in enumerate(lvf)})
+    print(f"[{time.time()-t0:6.1f}s] flow_fmg golden: |u| med"
+          f" {np.median(np.abs(uf)):.3f} over {len(lvf)} cycles")
+
+    # Disparity on Tsukuba (runme.m:15-34 input; alpha channel dropped).
+    # Full frames are slow for the sequential oracle — use a crop that
+    # still spans several pyramid levels and real disparity structure.
+    tl, tr = load_image_pair("tsukuba")
+    crop = np.s_[:3, 60:188, 100:260]  # drop the constant alpha channel
+    levels = []
+    ud = disp_nd_oracle(tl[crop], tr[crop], "grad", "gradmag",
+                        collect=levels)
+    np.savez(os.path.join(OUT, "disp_nd_tsukuba.npz"), u=ud,
+             **{f"level_{i}": lv for i, lv in enumerate(levels)})
+    print(f"[{time.time()-t0:6.1f}s] disp_nd golden: median {np.median(ud):.3f}px"
+          f" over {len(levels)} levels")
+
+    # Symmetric disparity on the same Tsukuba crop (runme.m:28)
+    lvs = []
+    u0, u1 = disp_sym_oracle(tl[crop], tr[crop], collect=lvs)
+    np.savez(os.path.join(OUT, "disp_sym_tsukuba.npz"), u0=u0, u1=u1,
+             **{f"level_{i}_u0": p[0] for i, p in enumerate(lvs)},
+             **{f"level_{i}_u1": p[1] for i, p in enumerate(lvs)})
+    print(f"[{time.time()-t0:6.1f}s] disp_sym golden: med u0 {np.median(u0):.3f}"
+          f" u1 {np.median(u1):.3f} over {len(lvs)} levels")
+
+    bb, bb1 = load_image_pair("beanbags")
     gray = bb.mean(axis=0)[:96, :128].astype(np.float64) / 255.0
     den = tv_denoise4_oracle(gray)
     np.savez(os.path.join(OUT, "tv4_beanbags.npz"), img=gray.astype(np.float32),
              out=den)
     print(f"[{time.time()-t0:6.1f}s] tv4 golden done")
+
+    # AD (anisotropic tensor) flow on Beanbags (runme.m:99-111 input),
+    # RGB crop, per-level intermediates for the parity suite
+    cropb = np.s_[:3, 40:168, 140:300]
+    lv = []
+    ua, va = flow_ad_oracle(bb[cropb], bb1[cropb], "grad", "gradmag",
+                            collect=lv)
+    np.savez(os.path.join(OUT, "flow_ad_beanbags.npz"), u=ua, v=va,
+             **{f"level_{i}_u": p[0] for i, p in enumerate(lv)},
+             **{f"level_{i}_v": p[1] for i, p in enumerate(lv)})
+    print(f"[{time.time()-t0:6.1f}s] flow_ad golden: |u| med {np.median(np.abs(ua)):.3f}"
+          f" over {len(lv)} levels")
 
 
 if __name__ == "__main__":

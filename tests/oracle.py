@@ -661,3 +661,805 @@ def flow_nd_oracle(it0, it1, fst_term="grad", snd_term="gradmag",
             u = _imresize_np(u / scl_factor, (nh, nw))
             v = _imresize_np(v / scl_factor, (nh, nw))
     return u.astype(np.float32), v.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Disparity (DispEminND_llin_2D.m + disparitySolvers.c) — literal ports
+# ---------------------------------------------------------------------------
+
+
+def _ddiff_weights_np(d, eps=1e-5):
+    """DdiffWeights semantics (mex/source/DdiffWeights.c ->
+    imageDiffusionWeights.c): Brox 6-point weights of a (possibly
+    multi-channel) field with max-over-channels combination and the
+    missing-neighbour border entries left at zero (Calc_wW writes only
+    columns j>=1, etc.).
+
+    d: (H, W) or (C, H, W). Returns (wW, wN, wE, wS)."""
+    d = np.asarray(d, np.float64)
+    if d.ndim == 2:
+        d = d[None]
+
+    def ver(x):  # 0.25*(north - south), ends clamped (Dver)
+        out = np.empty_like(x)
+        out[1:-1] = 0.25 * (x[:-2] - x[2:])
+        out[0] = 0.25 * (x[0] - x[1])
+        out[-1] = 0.25 * (x[-2] - x[-1])
+        return out
+
+    def hor(x):  # 0.25*(west - east), ends clamped (Dhor)
+        return ver(x.T).T
+
+    h, w = d.shape[1:]
+    tw = np.zeros((4,) + d.shape)
+    for k, dk in enumerate(d):
+        v, hzn = ver(dk), hor(dk)
+        tw[0, k, :, 1:] = (dk[:, 1:] - dk[:, :-1]) ** 2 + (v[:, 1:] + v[:, :-1]) ** 2
+        tw[1, k, 1:, :] = (dk[1:, :] - dk[:-1, :]) ** 2 + (hzn[1:, :] + hzn[:-1, :]) ** 2
+        tw[2, k, :, :-1] = (dk[:, :-1] - dk[:, 1:]) ** 2 + (v[:, :-1] + v[:, 1:]) ** 2
+        tw[3, k, :-1, :] = (dk[:-1, :] - dk[1:, :]) ** 2 + (hzn[:-1, :] + hzn[1:, :]) ** 2
+    tw = tw.max(axis=1)
+    ww, wn, we, ws = (1.0 / np.sqrt(t + eps) for t in tw)
+    ww[:, 0] = 0.0
+    wn[0, :] = 0.0
+    we[:, -1] = 0.0
+    ws[-1, :] = 0.0
+    return ww, wn, we, ws
+
+
+def gs_sor_disp_llin4(u, du, cu, duc, ww, wn, we, ws, iters, omega):
+    """Pointwise scalar late-lin GS-SOR (disparitySolvers.c:41-153):
+    lexicographic interior sweep + border replication each iteration."""
+    u = np.asarray(u, np.float64)
+    du = np.asarray(du, np.float64).copy()
+    h, w = u.shape
+    valid = ~np.isnan(cu)
+    dividend = np.where(valid, np.nan_to_num(cu), 0.0)
+    div = 1.0 / (np.where(valid, np.nan_to_num(duc), 0.0) + ww + wn + we + ws)
+    for _ in range(iters):
+        for j in range(1, w - 1):
+            for i in range(1, h - 1):
+                wneigh = ((u[i, j + 1] + du[i, j + 1] - u[i, j]) * we[i, j]
+                          + (u[i, j - 1] + du[i, j - 1] - u[i, j]) * ww[i, j]
+                          + (u[i + 1, j] + du[i + 1, j] - u[i, j]) * ws[i, j]
+                          + (u[i - 1, j] + du[i - 1, j] - u[i, j]) * wn[i, j])
+                du[i, j] = ((1 - omega) * du[i, j]
+                            + omega * (wneigh + dividend[i, j]) * div[i, j])
+        du[0, :] = du[1, :]
+        du[-1, :] = du[-2, :]
+        du[:, 0] = du[:, 1]
+        du[:, -1] = du[:, -2]
+    return du.astype(np.float32)
+
+
+def seq_alr_disp_llin4(u, du, cu, duc, ww, wn, we, ws, iters, omega):
+    """Sequential scalar ALR (GS_ALR_SOR_llin4_2d, disparitySolvers.c:154-217
+    + westColumn4/middleColumn4/... :1376-2050): per iteration all columns
+    west->east then all rows north->south; each line solved exactly by the
+    Thomas algorithm (boundary lines included, missing neighbours dropped),
+    then over-relaxed dU <- (1-w)*dU + w*x."""
+    from scipy.linalg import solve_banded
+
+    u = np.asarray(u, np.float64)
+    du = np.asarray(du, np.float64).copy()
+    h, w = u.shape
+    wwz = ww.copy(); wwz[:, 0] = 0
+    wez = we.copy(); wez[:, -1] = 0
+    wnz = wn.copy(); wnz[0, :] = 0
+    wsz = ws.copy(); wsz[-1, :] = 0
+    valid = ~np.isnan(cu)
+    b_data = np.where(valid, np.nan_to_num(duc), 0.0)
+    d_data = np.where(valid, np.nan_to_num(cu), 0.0)
+
+    def col_solve(j):
+        b = wnz[:, j] + wsz[:, j] + wwz[:, j] + wez[:, j] + b_data[:, j]
+        rhs = d_data[:, j].copy()
+        if j > 0:
+            rhs += wwz[:, j] * (u[:, j - 1] - u[:, j] + du[:, j - 1])
+        if j < w - 1:
+            rhs += wez[:, j] * (u[:, j + 1] - u[:, j] + du[:, j + 1])
+        rhs[1:] += wnz[1:, j] * (u[:-1, j] - u[1:, j])
+        rhs[:-1] += wsz[:-1, j] * (u[1:, j] - u[:-1, j])
+        ab = np.zeros((3, h))
+        ab[0, 1:] = -wsz[:-1, j]
+        ab[1] = b
+        ab[2, :-1] = -wnz[1:, j]
+        x = solve_banded((1, 1), ab, rhs)
+        du[:, j] = omega * x + (1 - omega) * du[:, j]
+
+    def row_solve(i):
+        b = wnz[i, :] + wsz[i, :] + wwz[i, :] + wez[i, :] + b_data[i, :]
+        rhs = d_data[i, :].copy()
+        if i > 0:
+            rhs += wnz[i, :] * (u[i - 1, :] - u[i, :] + du[i - 1, :])
+        if i < h - 1:
+            rhs += wsz[i, :] * (u[i + 1, :] - u[i, :] + du[i + 1, :])
+        rhs[1:] += wwz[i, 1:] * (u[i, :-1] - u[i, 1:])
+        rhs[:-1] += wez[i, :-1] * (u[i, 1:] - u[i, :-1])
+        ab = np.zeros((3, w))
+        ab[0, 1:] = -wez[i, :-1]
+        ab[1] = b
+        ab[2, :-1] = -wwz[i, 1:]
+        x = solve_banded((1, 1), ab, rhs)
+        du[i, :] = omega * x + (1 - omega) * du[i, :]
+
+    for _ in range(iters):
+        for j in range(w):
+            col_solve(j)
+        for i in range(h):
+            row_solve(i)
+    return du.astype(np.float32)
+
+
+def disp_nd_oracle(il, ir, fst_term="grad", snd_term="gradmag",
+                   alpha=0.042, gamma_s=0.005, omega=1.9, first_loop=4,
+                   second_loop=6, iters=4, b1=1.48, b2=0.29,
+                   scl_factor=0.75, solver=2, us=None, collect=None):
+    """Literal port of DispEminND_llin_2D.m (defaults :52-66).
+
+    il/ir: (H, W) or (C, H, W) in [0, 255]. Returns U (negative for a
+    left-of-right camera pair). ``collect``: optional list; per-level U
+    fields are appended (coarsest first) for intermediate parity checks."""
+    import scipy.ndimage as ndi
+
+    il = np.asarray(il, np.float64) / 255.0
+    ir = np.asarray(ir, np.float64) / 255.0
+    if il.ndim == 2:
+        il, ir = il[None], ir[None]
+    g = _fspecial_gaussian((5, 5), 1.25)
+
+    def smooth(chans):
+        return [_imfilter_rep(c, g) for c in chans]
+
+    lv0, lv1 = [list(il)], [list(ir)]
+    while True:
+        nh = int(np.ceil(lv0[-1][0].shape[0] * scl_factor))
+        nw = int(np.ceil(lv0[-1][0].shape[1] * scl_factor))
+        n0 = [_imresize_np(c, (nh, nw)) for c in lv0[-1]]
+        n1 = [_imresize_np(c, (nh, nw)) for c in lv1[-1]]
+        lv0[-1] = smooth(lv0[-1])
+        lv1[-1] = smooth(lv1[-1])
+        lv0.append(n0)
+        lv1.append(n1)
+        if nh <= 10 or nw <= 10:
+            lv0[-1] = smooth(lv0[-1])
+            lv1[-1] = smooth(lv1[-1])
+            break
+
+    def fst_imgs(chans):
+        return _rgb2grad_np(chans) if fst_term == "grad" else chans
+
+    def snd_imgs(chans):
+        return None if snd_term == "none" else chans
+
+    us_lv = None
+    u = None
+    if us is not None:
+        cur = np.nan_to_num(np.asarray(us, np.float64))
+        us_lv = [cur]
+        for scl in range(1, len(lv0)):
+            cur = _imresize_np(cur * scl_factor, lv0[scl][0].shape, "bilinear")
+            us_lv.append(cur)
+        u = us_lv[-1]
+
+    n = len(lv0)
+    for scl in range(n - 1, -1, -1):
+        as_diff = 1.75 * (1.0 / scl_factor) ** (-scl)
+        i1t0, i1t1 = fst_imgs(lv0[scl]), fst_imgs(lv1[scl])
+        i2t0, i2t1 = snd_imgs(lv0[scl]), snd_imgs(lv1[scl])
+        h, w = i1t0[0].shape
+        if u is None:
+            u = np.zeros((h, w))
+        yy, xx = np.mgrid[1:h + 1, 1:w + 1].astype(np.float64)
+        for _first in range(first_loop):
+            i1t1w = [_bilin_interp_nan(c, xx + u, yy) for c in i1t1]
+            t1 = [_fst5(a, b) for a, b in zip(i1t0, i1t1w)]
+            if i2t1 is not None:
+                i2t1w = [_bilin_interp_nan(c, xx + u, yy) for c in i2t1]
+                t2 = ([_snd5(a, b) for a, b in zip(i2t0, i2t1w)]
+                      if snd_term == "gradmag"
+                      else [_fst5(a, b) for a, b in zip(i2t0, i2t1w)])
+            du = np.zeros((h, w))
+            for _second in range(second_loop):
+                parts_cu, parts_du = [], []
+                for (idt, idx, _idy) in t1:
+                    gd1 = b1 / (alpha * np.sqrt((idt - idx * du) ** 2 + 1e-5))
+                    parts_cu.append(idt * idx * gd1)
+                    parts_du.append(idx * idx * gd1)
+                if i2t1 is not None:
+                    for tt in t2:
+                        if snd_term == "gradmag":
+                            idxt, idyt, idxx, _idyy, idxy = tt
+                            opn = (idxt - idxx * du) ** 2 + (idyt - idxy * du) ** 2
+                            gd2 = b2 / (alpha * np.sqrt(opn + 1e-5))
+                            parts_cu.append((idxt * idxx + idyt * idxy) * gd2)
+                            parts_du.append((idxx * idxx + idxy * idxy) * gd2)
+                        else:
+                            idt, idx, _idy = tt
+                            gd2 = b2 / (alpha * np.sqrt((idt - idx * du) ** 2 + 1e-5))
+                            parts_cu.append(idt * idx * gd2)
+                            parts_du.append(idx * idx * gd2)
+                if us_lv is not None:
+                    ap_norm = (us_lv[scl] - u - du) ** 2
+                    gs = gamma_s / alpha * np.exp(-ap_norm / as_diff**2)
+                    parts_cu.append((us_lv[scl] - u) * gs)
+                    parts_du.append(np.ones_like(gs) * gs)
+                # plain sum (DispEminND:291-292): NaN propagates
+                cu_gd = np.sum(np.stack(parts_cu), axis=0)
+                du_gd = np.sum(np.stack(parts_du), axis=0)
+                ww, wn, we, ws = _ddiff_weights_np(u + du)
+                if solver == 2:
+                    du = seq_alr_disp_llin4(u, du, cu_gd, du_gd,
+                                            ww, wn, we, ws, iters, omega)
+                else:
+                    du = gs_sor_disp_llin4(u, du, cu_gd, du_gd,
+                                           ww, wn, we, ws, iters, omega)
+                du = du.astype(np.float64)
+            u = ndi.median_filter(u + du, size=3, mode="reflect")
+        if collect is not None:
+            collect.append(u.astype(np.float32))
+        if scl > 0:
+            nh, nw = lv0[scl - 1][0].shape
+            u = _imresize_np(u / scl_factor, (nh, nw), "bilinear")
+    return u.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Anisotropic-diffusion flow (FlowEminAD_llin_2D_v10.m) — literal ports
+# ---------------------------------------------------------------------------
+
+
+def _ad_diff_weights_np(d, quantile=0.9):
+    """ADdiffWeights (FlowEminAD_llin_2D_v10.m:416-488): Alvarez 3x3
+    derivators (imfilter 'conv'), max-gradient channel selection, adaptive
+    lambda at the given quantile of nonzero |grad|^2, diffusion-tensor
+    stencil via circshift averaging. d: (H, W) or (C, H, W)."""
+    import scipy.ndimage as ndi
+
+    d = np.asarray(d, np.float64)
+    if d.ndim == 2:
+        d = d[None]
+    r8 = np.sqrt(8.0)
+    o_dx = np.array([[1, 0, -1], [r8 / 2, 0, -r8 / 2], [1, 0, -1]]) / (4 + r8)
+    o_dy = o_dx.T.copy()
+    # imfilter(..., 'conv') = convolution: flip the kernel for correlate
+    dx = np.stack([ndi.correlate(c, o_dx[::-1, ::-1], mode="nearest") for c in d])
+    dy = np.stack([ndi.correlate(c, o_dy[::-1, ::-1], mode="nearest") for c in d])
+    norm = dx**2 + dy**2
+    idx = norm.argmax(axis=0)
+    take = np.take_along_axis
+    max_dx = take(dx, idx[None], 0)[0]
+    max_dy = take(dy, idx[None], 0)[0]
+    norm_max = max_dx**2 + max_dy**2
+
+    nz = np.sort(norm_max.ravel()[norm_max.ravel() != 0])
+    if nz.size:
+        # MATLAB: sorted(round(numel*q)), 1-based
+        lam = nz[min(max(int(round(nz.size * quantile)) - 1, 0), nz.size - 1)]
+    else:
+        lam = 1.0
+    mult = 1.0 / (norm_max + 2 * lam)
+    dyy = mult * (max_dy**2 + lam)
+    dxx = mult * (max_dx**2 + lam)
+    dxy = -mult * (max_dx * max_dy)
+
+    def cs(a, sh):
+        return np.roll(a, sh, axis=(0, 1))
+
+    w = 0.5 * (dyy + cs(dyy, (0, 1)))
+    nw = 0.25 * (dxy + cs(dxy, (1, 1)))
+    n_ = 0.5 * (dxx + cs(dxx, (1, 0)))
+    ne = -0.25 * (dxy + cs(dxy, (1, -1)))
+    e = 0.5 * (dyy + cs(dyy, (0, -1)))
+    se = 0.25 * (dxy + cs(dxy, (-1, -1)))
+    s = 0.5 * (dxx + cs(dxx, (-1, 0)))
+    sw = -0.25 * (dxy + cs(dxy, (-1, 1)))
+    return w, nw, n_, ne, e, se, s, sw
+
+
+def seq_alr_llin8(u, v, du, dv, m, cu, cv, duc, dvc, w8, iters, omega):
+    """Sequential ALR for the 8-neighbour late-lin pair (GS_ALR_SOR_llin8_2d
+    + middleColumn_llin8 etc., opticalflowSolvers.c:1677-1760): per
+    iteration U cols, V cols, V rows, U rows; intra-line neighbours
+    implicit (Thomas), cross-line (incl. diagonals) lagged with their
+    current dU; data terms gated on isnan(Cu)."""
+    from scipy.linalg import solve_banded
+
+    ww, wnw, wn, wne, we, wse, ws, wsw = [x.astype(np.float64) for x in w8]
+    du = du.astype(np.float64).copy()
+    dv = dv.astype(np.float64).copy()
+    h, w = du.shape
+    # zero the weights whose neighbour falls outside (border lines solve
+    # one-sided systems in the C code)
+    for arr, sl in ((ww, np.s_[:, 0]), (we, np.s_[:, -1]),
+                    (wn, np.s_[0, :]), (ws, np.s_[-1, :]),
+                    (wnw, np.s_[:, 0]), (wnw, np.s_[0, :]),
+                    (wne, np.s_[:, -1]), (wne, np.s_[0, :]),
+                    (wsw, np.s_[:, 0]), (wsw, np.s_[-1, :]),
+                    (wse, np.s_[:, -1]), (wse, np.s_[-1, :])):
+        arr[sl] = 0
+    wsum = ww + wnw + wn + wne + we + wse + ws + wsw
+
+    def cross_col(df, f, j):
+        """Explicit terms for column j: W/E/NW/NE/SW/SE with dU, base diffs."""
+        rhs = np.zeros(h)
+        if j > 0:
+            rhs += ww[:, j] * (f[:, j - 1] - f[:, j] + df[:, j - 1])
+            rhs[1:] += wnw[1:, j] * (f[:-1, j - 1] - f[1:, j] + df[:-1, j - 1])
+            rhs[:-1] += wsw[:-1, j] * (f[1:, j - 1] - f[:-1, j] + df[1:, j - 1])
+        if j < w - 1:
+            rhs += we[:, j] * (f[:, j + 1] - f[:, j] + df[:, j + 1])
+            rhs[1:] += wne[1:, j] * (f[:-1, j + 1] - f[1:, j] + df[:-1, j + 1])
+            rhs[:-1] += wse[:-1, j] * (f[1:, j + 1] - f[:-1, j] + df[1:, j + 1])
+        rhs[1:] += wn[1:, j] * (f[:-1, j] - f[1:, j])
+        rhs[:-1] += ws[:-1, j] * (f[1:, j] - f[:-1, j])
+        return rhs
+
+    def cross_row(df, f, i):
+        rhs = np.zeros(w)
+        if i > 0:
+            rhs += wn[i, :] * (f[i - 1, :] - f[i, :] + df[i - 1, :])
+            rhs[1:] += wnw[i, 1:] * (f[i - 1, :-1] - f[i, 1:] + df[i - 1, :-1])
+            rhs[:-1] += wne[i, :-1] * (f[i - 1, 1:] - f[i, :-1] + df[i - 1, 1:])
+        if i < h - 1:
+            rhs += ws[i, :] * (f[i + 1, :] - f[i, :] + df[i + 1, :])
+            rhs[1:] += wsw[i, 1:] * (f[i + 1, :-1] - f[i, 1:] + df[i + 1, :-1])
+            rhs[:-1] += wse[i, :-1] * (f[i + 1, 1:] - f[i, :-1] + df[i + 1, 1:])
+        rhs[1:] += ww[i, 1:] * (f[i, :-1] - f[i, 1:])
+        rhs[:-1] += we[i, :-1] * (f[i, 1:] - f[i, :-1])
+        return rhs
+
+    def col_solve(df, f, other_df, c_, d_, j):
+        valid = ~np.isnan(c_[:, j])
+        b = wsum[:, j] + np.where(valid, np.nan_to_num(d_[:, j]), 0)
+        rhs = cross_col(df, f, j) + np.where(
+            valid,
+            np.nan_to_num(c_[:, j]) - np.nan_to_num(m[:, j]) * other_df[:, j], 0)
+        ab = np.zeros((3, h))
+        ab[0, 1:] = -ws[:-1, j]
+        ab[1] = b
+        ab[2, :-1] = -wn[1:, j]
+        x = solve_banded((1, 1), ab, rhs)
+        df[:, j] = omega * x + (1 - omega) * df[:, j]
+
+    def row_solve(df, f, other_df, c_, d_, i):
+        valid = ~np.isnan(c_[i, :])
+        b = wsum[i, :] + np.where(valid, np.nan_to_num(d_[i, :]), 0)
+        rhs = cross_row(df, f, i) + np.where(
+            valid,
+            np.nan_to_num(c_[i, :]) - np.nan_to_num(m[i, :]) * other_df[i, :], 0)
+        ab = np.zeros((3, w))
+        ab[0, 1:] = -we[i, :-1]
+        ab[1] = b
+        ab[2, :-1] = -ww[i, 1:]
+        x = solve_banded((1, 1), ab, rhs)
+        df[i, :] = omega * x + (1 - omega) * df[i, :]
+
+    for _ in range(iters):
+        for j in range(w):
+            col_solve(du, u, dv, cu, duc, j)
+        for j in range(w):
+            col_solve(dv, v, du, cv, dvc, j)
+        for i in range(h):
+            row_solve(dv, v, du, cv, dvc, i)
+        for i in range(h):
+            row_solve(du, u, dv, cu, duc, i)
+    return du.astype(np.float32), dv.astype(np.float32)
+
+
+def flow_ad_oracle(it0, it1, fst_term="grad", snd_term="gradmag",
+                   diffusion="image", quantile=0.9, alpha=0.0420, omega=1.9,
+                   first_loop=4, second_loop=4, iters=4, b1=1.4843,
+                   b2=0.2915, scl_factor=0.75, collect=None):
+    """Literal port of FlowEminAD_llin_2D_v10.m (defaults :55-72, no
+    spatial prior). Returns (U, V); ``collect`` gathers per-level fields."""
+    import scipy.ndimage as ndi
+
+    it0 = np.asarray(it0, np.float64) / 255.0
+    it1 = np.asarray(it1, np.float64) / 255.0
+    if it0.ndim == 2:
+        it0, it1 = it0[None], it1[None]
+    g = _fspecial_gaussian((5, 5), 1.25)
+
+    def smooth(chans):
+        return [_imfilter_rep(c, g) for c in chans]
+
+    lv0, lv1 = [list(it0)], [list(it1)]
+    while True:
+        nh = int(np.ceil(lv0[-1][0].shape[0] * scl_factor))
+        nw = int(np.ceil(lv0[-1][0].shape[1] * scl_factor))
+        n0 = [_imresize_np(c, (nh, nw)) for c in lv0[-1]]
+        n1 = [_imresize_np(c, (nh, nw)) for c in lv1[-1]]
+        lv0[-1] = smooth(lv0[-1])
+        lv1[-1] = smooth(lv1[-1])
+        lv0.append(n0)
+        lv1.append(n1)
+        if nh <= 20 or nw <= 20:   # FlowEminAD:122 stop <= 20 px
+            lv0[-1] = smooth(lv0[-1])
+            lv1[-1] = smooth(lv1[-1])
+            break
+
+    def fst_imgs(chans):
+        return _rgb2grad_np(chans) if fst_term == "grad" else chans
+
+    u = v = None
+    n = len(lv0)
+    for scl in range(n - 1, -1, -1):
+        i1t0, i1t1 = fst_imgs(lv0[scl]), fst_imgs(lv1[scl])
+        i2t0, i2t1 = ((None, None) if snd_term == "none"
+                      else (lv0[scl], lv1[scl]))
+        h, w = i1t0[0].shape
+        if u is None:
+            u = np.zeros((h, w))
+            v = np.zeros((h, w))
+        if diffusion == "image":
+            w8 = _ad_diff_weights_np(np.stack(lv0[scl]), quantile)
+        yy, xx = np.mgrid[1:h + 1, 1:w + 1].astype(np.float64)
+        for _first in range(first_loop):
+            i1t1w = [_bilin_interp_nan(c, xx + u, yy + v) for c in i1t1]
+            t1 = [_fst5(a, b) for a, b in zip(i1t0, i1t1w)]
+            if i2t1 is not None:
+                i2t1w = [_bilin_interp_nan(c, xx + u, yy + v) for c in i2t1]
+                t2 = ([_snd5(a, b) for a, b in zip(i2t0, i2t1w)]
+                      if snd_term == "gradmag"
+                      else [_fst5(a, b) for a, b in zip(i2t0, i2t1w)])
+            du = np.zeros((h, w))
+            dv = np.zeros((h, w))
+            for _second in range(second_loop):
+                pm, pcu, pcv, pdu, pdv = [], [], [], [], []
+                for (idt, idx, idy) in t1:
+                    gd = b1 / (alpha * np.sqrt((idt - idx * du - idy * dv) ** 2 + 1e-5))
+                    pm.append(idy * idx * gd)
+                    pcu.append(idt * idx * gd)
+                    pcv.append(idt * idy * gd)
+                    pdu.append(idx * idx * gd)
+                    pdv.append(idy * idy * gd)
+                if i2t1 is not None:
+                    for tt in t2:
+                        if snd_term == "gradmag":
+                            idxt, idyt, idxx, idyy, idxy = tt
+                            opn = (idxt - idxx * du - idxy * dv) ** 2 \
+                                + (idyt - idxy * du - idyy * dv) ** 2
+                            gd = b2 / (alpha * np.sqrt(opn + 1e-5))
+                            pm.append(idxy * (idxx + idyy) * gd)
+                            pcu.append((idxt * idxx + idyt * idxy) * gd)
+                            pcv.append((idxt * idxy + idyt * idyy) * gd)
+                            pdu.append((idxx * idxx + idxy * idxy) * gd)
+                            pdv.append((idxy * idxy + idyy * idyy) * gd)
+                        else:
+                            idt, idx, idy = tt
+                            gd = b2 / (alpha * np.sqrt((idt - idx * du - idy * dv) ** 2 + 1e-5))
+                            pm.append(idy * idx * gd)
+                            pcu.append(idt * idx * gd)
+                            pcv.append(idt * idy * gd)
+                            pdu.append(idx * idx * gd)
+                            pdv.append(idy * idy * gd)
+                if diffusion == "flow":
+                    w8 = _ad_diff_weights_np(u + du + v + dv, quantile)
+
+                def nsum(parts):
+                    return np.nansum(np.stack(parts), axis=0)
+
+                m = nsum(pm)
+                du, dv = seq_alr_llin8(u, v, du, dv, m, nsum(pcu), nsum(pcv),
+                                       nsum(pdu), nsum(pdv), w8, iters, omega)
+                du = du.astype(np.float64)
+                dv = dv.astype(np.float64)
+            u = ndi.median_filter(u + du, size=3, mode="reflect")
+            v = ndi.median_filter(v + dv, size=3, mode="reflect")
+        if collect is not None:
+            collect.append((u.astype(np.float32), v.astype(np.float32)))
+        if scl > 0:
+            nh, nw = lv0[scl - 1][0].shape
+            u = _imresize_np(u / scl_factor, (nh, nw))
+            v = _imresize_np(v / scl_factor, (nh, nw))
+    return u.astype(np.float32), v.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# FAS full-multigrid flow (FlowEminNDFASFMG_elin_2D_v10.m) — literal port
+# ---------------------------------------------------------------------------
+
+
+def _conv_rep(x, k):
+    """imfilter(..., 'replicate', 'conv'): true convolution."""
+    import scipy.ndimage as ndi
+
+    return ndi.correlate(x, np.flip(k), mode="nearest")
+
+
+def _residuals_elin4_np(u, v, m, cu, cv, duc, dvc, ww, wn, we, ws):
+    """Residuals_elin4_2d (opticalflowSolvers.c:269-385): r = b - A x on
+    the interior, 1-px border replication."""
+    def nbr(x):
+        xp = np.pad(x, 1, mode="edge")
+        return (ww * xp[1:-1, :-2] + we * xp[1:-1, 2:]
+                + wn * xp[:-2, 1:-1] + ws * xp[2:, 1:-1])
+
+    wsum = ww + wn + we + ws
+    ru = cu - m * v + nbr(u) - (duc + wsum) * u
+    rv = cv - m * u + nbr(v) - (dvc + wsum) * v
+
+    def rep(x):
+        x = x.copy()
+        x[0, :] = x[1, :]; x[-1, :] = x[-2, :]
+        x[:, 0] = x[:, 1]; x[:, -1] = x[:, -2]
+        return x
+
+    return rep(ru), rep(rv)
+
+
+def _lhs_elin4_np(u, v, m, duc, dvc, ww, wn, we, ws):
+    """LHS_elin4_2d (opticalflowSolvers.c:387-503): A x, border-replicated."""
+    def nbr(x):
+        xp = np.pad(x, 1, mode="edge")
+        return (ww * xp[1:-1, :-2] + we * xp[1:-1, 2:]
+                + wn * xp[:-2, 1:-1] + ws * xp[2:, 1:-1])
+
+    wsum = ww + wn + we + ws
+    au = m * v - nbr(u) + (duc + wsum) * u
+    av = m * u - nbr(v) + (dvc + wsum) * v
+
+    def rep(x):
+        x = x.copy()
+        x[0, :] = x[1, :]; x[-1, :] = x[-2, :]
+        x[:, 0] = x[:, 1]; x[:, -1] = x[:, -2]
+        return x
+
+    return rep(au), rep(av)
+
+
+_FW = np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], np.float64) / 16.0
+
+
+def _restrict(x, scl_factor):
+    return _conv_rep(x * scl_factor, _FW)[::2, ::2]
+
+
+def flow_fmg_oracle(it0, it1, alpha=0.035, omega=1.9, first_loop=4, iters=4,
+                    b1=0.03, b2=0.97, scl_factor=0.5, cycle_index=1,
+                    solver=2, collect=None):
+    """Literal port of FlowEminNDFASFMG_elin_2D_v10.m, single channel
+    (the Yosemite demo, runme.m:90). Input in [0, 255]. ``collect``
+    gathers (U, V) after each top-level FAS cycle, coarsest first."""
+    import scipy.ndimage as ndi
+
+    it0 = np.asarray(it0, np.float64)
+    it1 = np.asarray(it1, np.float64)
+    assert it0.ndim == 2, "oracle supports the single-channel demo"
+
+    pre = np.array([0.037659, 0.249724, 0.439911, 0.249724, 0.037659])
+    o_dx = np.array([0.104550, 0.292315, 0.0, -0.292315, -0.104550])
+    o_dxx = np.array([0.232905, 0.002668, -0.471147, 0.002668, 0.232905])
+
+    def conv_h(x, k):
+        return _conv_rep(x, k[None, :])
+
+    def conv_v(x, k):
+        return _conv_rep(x, k[:, None])
+
+    g = _fspecial_gaussian((5, 5), 1.0)
+    lv0 = [_conv_rep(it0, g)]
+    lv1 = [_conv_rep(it1, g)]
+    while True:
+        n0 = conv_v(conv_h(lv0[-1], np.array([1, 4, 6, 4, 1]) / 16.0),
+                    np.array([1, 4, 6, 4, 1]) / 16.0)[::2, ::2]
+        n1 = conv_v(conv_h(lv1[-1], np.array([1, 4, 6, 4, 1]) / 16.0),
+                    np.array([1, 4, 6, 4, 1]) / 16.0)[::2, ::2]
+        lv0.append(n0)
+        lv1.append(n1)
+        if n0.shape[0] <= 10 or n0.shape[1] <= 10:
+            break
+    n = len(lv0)
+
+    T = []  # per-level tensors
+    for a, b in zip(lv0, lv1):
+        ist = (a + b) * 0.55 / 255.0
+        idt = (a - b) / 255.0
+        idx = conv_h(conv_v(ist, pre), o_dx)
+        idy = conv_v(conv_h(ist, pre), o_dx)
+        idxx = conv_h(conv_v(ist, pre), o_dxx)
+        idyy = conv_v(conv_h(ist, pre), o_dxx)
+        idxy = conv_v(conv_h(ist, o_dx), o_dx)
+        idxt = (conv_h(conv_v(a, pre), o_dx / 255.0)
+                - conv_h(conv_v(b, pre), o_dx / 255.0))
+        idyt = (conv_v(conv_h(a, pre), o_dx / 255.0)
+                - conv_v(conv_h(b, pre), o_dx / 255.0))
+        T.append(dict(
+            idt=idt, idx=idx, idy=idy, idxx=idxx, idyy=idyy, idxy=idxy,
+            idxt=idxt, idyt=idyt,
+            m=b1 * idy * idx + b2 * idxy * (idxx + idyy),
+            cu=b1 * idt * idx + b2 * (idxt * idxx + idyt * idxy),
+            cv=b1 * idt * idy + b2 * (idxt * idxy + idyt * idyy),
+            du=b1 * idx * idx + b2 * (idxx * idxx + idxy * idxy),
+            dv=b1 * idy * idy + b2 * (idxy * idxy + idyy * idyy),
+        ))
+
+    def opnorm(t, u, v):
+        return (b1 * (t["idt"] - t["idx"] * u - t["idy"] * v) ** 2
+                + b2 * ((t["idxt"] - t["idxx"] * u - t["idxy"] * v) ** 2
+                        + (t["idyt"] - t["idxy"] * u - t["idyy"] * v) ** 2))
+
+    def smooth(u, v, t, cu, cv, want_res):
+        for _ in range(first_loop):
+            gd = 1.0 / (alpha * np.sqrt(opnorm(t, u, v) + 1e-5))
+            ww, wn, we, ws = _op_diff_weights(u, v)
+            args = (t["m"] * gd, cu * gd, cv * gd, t["du"] * gd, t["dv"] * gd,
+                    ww, wn, we, ws)
+            if solver == 2:
+                u, v = seq_alr_elin4(u, v, *args, iters, omega)
+            else:
+                u, v = gs_sor_elin4(u, v, *args, iters, omega)
+            u, v = u.astype(np.float64), v.astype(np.float64)
+        if not want_res:
+            return u, v, None, None
+        gd = 1.0 / (alpha * np.sqrt(opnorm(t, u, v) + 1e-5))
+        ww, wn, we, ws = _op_diff_weights(u, v)
+        ru, rv = _residuals_elin4_np(u, v, t["m"] * gd, cu * gd, cv * gd,
+                                     t["du"] * gd, t["dv"] * gd, ww, wn, we, ws)
+        return u, v, ru, rv
+
+    def fas_cycle(u, v, cu, cv, scl):
+        if scl == n - 1:
+            u, v, _, _ = smooth(u, v, T[scl], cu, cv, False)
+            return u, v
+        for _ in range(cycle_index):
+            u, v, ru, rv = smooth(u, v, T[scl], cu, cv, True)
+            ru_res = _restrict(ru, scl_factor)
+            rv_res = _restrict(rv, scl_factor)
+            u_res = _restrict(u, scl_factor)
+            v_res = _restrict(v, scl_factor)
+            tc = T[scl + 1]
+            gd = 1.0 / (alpha * np.sqrt(opnorm(tc, u_res, v_res) + 1e-5))
+            ww, wn, we, ws = _op_diff_weights(u_res, v_res)
+            au, av = _lhs_elin4_np(u_res, v_res, tc["m"] * gd,
+                                   tc["du"] * gd, tc["dv"] * gd,
+                                   ww, wn, we, ws)
+            fu = (ru_res + au) / gd
+            fv = (rv_res + av) / gd
+            uc, vc = fas_cycle(u_res.copy(), v_res.copy(), fu, fv, scl + 1)
+            u = u + _imresize_np((uc - u_res) / scl_factor, u.shape, "bilinear")
+            v = v + _imresize_np((vc - v_res) / scl_factor, v.shape, "bilinear")
+        # postsmoothing (once, after all cycle_index passes — the MATLAB
+        # 'if ~isempty(Uc)' block sits outside the ci loop, :269-272)
+        u, v, _, _ = smooth(u, v, T[scl], cu, cv, False)
+        return u, v
+
+    u = v = None
+    for scl in range(n - 1, -1, -1):
+        if u is None:
+            u = np.zeros(lv0[scl].shape)
+            v = np.zeros(lv0[scl].shape)
+        u, v = fas_cycle(u, v, T[scl]["cu"], T[scl]["cv"], scl)
+        if collect is not None:
+            collect.append((u.astype(np.float32), v.astype(np.float32)))
+        if scl > 0:
+            # MATLAB default imresize method = bicubic (antialias only on
+            # downscale, so plain bicubic here)
+            u = _imresize_np(u / scl_factor, lv0[scl - 1].shape, "cubic")
+            v = _imresize_np(v / scl_factor, lv0[scl - 1].shape, "cubic")
+    return u.astype(np.float32), v.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Symmetric disparity (DispEminND_llin_sym_2D.m) — literal port
+# ---------------------------------------------------------------------------
+
+
+def disp_sym_oracle(il, ir, alpha=0.035, beta=0.4, omega=1.9, first_loop=3,
+                    second_loop=4, iters=4, b1=0.25, b2=0.72,
+                    scl_factor=0.75, collect=None):
+    """Literal port of DispEminND_llin_sym_2D.m (defaults :50-64).
+
+    Raw 0-255 domain (no /255). Returns (U0, U1). The coupled solver's
+    two relaxations are independent given the Cu/Du tensors
+    (GS_ALR_SOR_llinsym4_2d, disparitySolvers.c:462-552), so each side is
+    the scalar ALR. ``collect`` gathers per-level (U0, U1)."""
+    import scipy.ndimage as ndi
+
+    il = np.asarray(il, np.float64)
+    ir = np.asarray(ir, np.float64)
+    if il.ndim == 2:
+        il, ir = il[None], ir[None]
+    g = _fspecial_gaussian((3, 3), 1.0)
+
+    def smooth(chans):
+        return [_imfilter_rep(c, g) for c in chans]
+
+    lv0, lv1 = [list(il)], [list(ir)]
+    while True:
+        nh = int(np.ceil(lv0[-1][0].shape[0] * scl_factor))
+        nw = int(np.ceil(lv0[-1][0].shape[1] * scl_factor))
+        n0 = [_imresize_np(c, (nh, nw)) for c in lv0[-1]]
+        n1 = [_imresize_np(c, (nh, nw)) for c in lv1[-1]]
+        lv0[-1] = smooth(lv0[-1])
+        lv1[-1] = smooth(lv1[-1])
+        lv0.append(n0)
+        lv1.append(n1)
+        if nh <= 10 or nw <= 10:
+            lv0[-1] = smooth(lv0[-1])
+            lv1[-1] = smooth(lv1[-1])
+            break
+
+    def flow_dx(u):
+        # conv(conv(U, prefilter'), O_dx): vertical smooth + horiz derive,
+        # true convolution (kernels symmetric/antisymmetric: equals
+        # correlation by _SM5 and _FD5)
+        return _corr1(_corr1(u, _SM5, 0), _FD5, 1)
+
+    n = len(lv0)
+    u0 = u1 = None
+    for scl in range(n - 1, -1, -1):
+        i0, i1 = lv0[scl], lv1[scl]
+        nch = len(i0)
+        h, w = i0[0].shape
+        if u0 is None:
+            u0 = np.zeros((h, w))
+            u1 = np.zeros((h, w))
+        sr_diff = 2.0 * (1.0 / scl_factor) ** (-scl)
+        yy, xx = np.mgrid[1:h + 1, 1:w + 1].astype(np.float64)
+        for _first in range(first_loop):
+            it0w = [_bilin_interp_nan(c, xx + u1, yy) for c in i0]
+            it1w = [_bilin_interp_nan(c, xx + u0, yy) for c in i1]
+            u0w = _bilin_interp_nan(u0, xx + u1, yy)
+            u1w = _bilin_interp_nan(u1, xx + u0, yy)
+
+            t0 = [_fst5(a, b) for a, b in zip(i0, it1w)]
+            s0 = [_snd5(a, b) for a, b in zip(i0, it1w)]
+            t1 = [_fst5(a, b) for a, b in zip(i1, it0w)]
+            s1 = [_snd5(a, b) for a, b in zip(i1, it0w)]
+
+            udt0 = 0.5 * (u0 + u1w)
+            udx1 = flow_dx(u1w)
+            udt1 = 0.5 * (u1 + u0w)
+            udx0 = flow_dx(u0w)
+            cus0 = udt0 * (1 + udx1)
+            dus0 = 1 + 2 * udx1 + udx1**2
+            cus1 = udt1 * (1 + udx0)
+            dus1 = 1 + 2 * udx0 + udx0**2
+
+            cud0 = [b1 * ft[0] * ft[1] + b2 * (st[0] * st[2] + st[1] * st[4])
+                    for ft, st in zip(t0, s0)]
+            dud0 = [b1 * ft[1] ** 2 + b2 * (st[2] ** 2 + st[4] ** 2)
+                    for ft, st in zip(t0, s0)]
+            cud1 = [b1 * ft[0] * ft[1] + b2 * (st[0] * st[2] + st[1] * st[4])
+                    for ft, st in zip(t1, s1)]
+            dud1 = [b1 * ft[1] ** 2 + b2 * (st[2] ** 2 + st[4] ** 2)
+                    for ft, st in zip(t1, s1)]
+
+            du0 = np.zeros((h, w))
+            du1 = np.zeros((h, w))
+            for _second in range(second_loop):
+                def gd(ts, ss, du):
+                    return [1.0 / (alpha * np.sqrt(
+                        b1 * (ft[0] - ft[1] * du) ** 2
+                        + b2 * ((st[0] - st[2] * du) ** 2
+                                + (st[1] - st[4] * du) ** 2) + 1e-5))
+                        for ft, st in zip(ts, ss)]
+
+                gd0 = gd(t0, s0, du0)
+                gd1 = gd(t1, s1, du1)
+                gsym0 = (nch * beta / alpha) / (1 + (du0 + udt0 + udx1 * du0) ** 2 / sr_diff**2)
+                gsym1 = (nch * beta / alpha) / (1 + (du1 + udt1 + udx0 * du1) ** 2 / sr_diff**2)
+
+                ww0, wn0, we0, ws0 = _ddiff_weights_np(u0 + du0)
+                ww1, wn1, we1, ws1 = _ddiff_weights_np(u1 + du1)
+
+                cug0 = np.sum([g_ * c for g_, c in zip(gd0, cud0)], axis=0) - gsym0 * cus0
+                dug0 = np.sum([g_ * d for g_, d in zip(gd0, dud0)], axis=0) + gsym0 * dus0
+                cug1 = np.sum([g_ * c for g_, c in zip(gd1, cud1)], axis=0) - gsym1 * cus1
+                dug1 = np.sum([g_ * d for g_, d in zip(gd1, dud1)], axis=0) + gsym1 * dus1
+
+                du0 = seq_alr_disp_llin4(u0, du0, cug0, dug0,
+                                         ww0, wn0, we0, ws0, iters, omega).astype(np.float64)
+                du1 = seq_alr_disp_llin4(u1, du1, cug1, dug1,
+                                         ww1, wn1, we1, ws1, iters, omega).astype(np.float64)
+            u0 = ndi.median_filter(u0 + du0, size=3, mode="reflect")
+            u1 = ndi.median_filter(u1 + du1, size=3, mode="reflect")
+        if collect is not None:
+            collect.append((u0.astype(np.float32), u1.astype(np.float32)))
+        if scl > 0:
+            nh, nw = lv0[scl - 1][0].shape
+            u0 = _imresize_np(u0 / scl_factor, (nh, nw), "bilinear")
+            u1 = _imresize_np(u1 / scl_factor, (nh, nw), "bilinear")
+    return u0.astype(np.float32), u1.astype(np.float32)

@@ -58,6 +58,22 @@ def test_flow_nd_golden_gt_accuracy():
     assert engine_aee < oracle_aee * 1.05 + 0.01, (engine_aee, oracle_aee)
 
 
+def test_flow_nd_golden_epe_kernel_default():
+    """The TPU-native default path (solver=1: Pallas-dispatched red-black
+    on the border-inclusive ALR system) must stay within the same 2% AEE
+    budget at the reference iteration counts."""
+    from pde_tpu.utils.io import load_yosemite
+    from pde_tpu.models.flow_nd import flow_nd
+
+    g = _load("flow_nd_yosemite.npz")
+    y0, y1, _, _ = load_yosemite()
+    u, v = flow_nd(y0[:128, :160], y1[:128, :160], "grad", "gradmag")
+    u, v = np.asarray(u), np.asarray(v)
+    epe = np.sqrt((u - g["u"]) ** 2 + (v - g["v"]) ** 2)
+    mag = np.sqrt(g["u"] ** 2 + g["v"] ** 2).mean()
+    assert epe.mean() / mag < 0.02, epe.mean() / mag
+
+
 def test_flow_hs_golden_epe():
     from pde_tpu.utils.io import load_yosemite
     from pde_tpu.models.flow_hs import flow_hs
@@ -83,3 +99,119 @@ def test_tv4_golden_parity():
     rng = ref.max() - ref.min()
     assert np.abs(out - ref).max() < 0.08 * rng
     assert np.sqrt(np.mean((out - ref) ** 2)) < 0.02 * rng
+
+
+def test_disp_nd_golden_levels():
+    """Disparity on Tsukuba (crop) vs the literal oracle, level by level:
+    every pyramid level's U field must stay within 2% AEE of the oracle's
+    (SURVEY 7.3 #1 prescribes intermediate checks, not just the final
+    field). Matches DispEminND_llin_2D.m:184-329."""
+    from pde_tpu.utils.io import load_image_pair
+    from pde_tpu.models.disparity import disparity_nd
+
+    g = _load("disp_nd_tsukuba.npz")
+    tl, tr = load_image_pair("tsukuba")
+    crop = np.s_[:3, 60:188, 100:260]
+    levels = []
+    u = np.asarray(disparity_nd(tl[crop], tr[crop], "grad", "gradmag",
+                                collect=levels))
+    n = len([k for k in g.files if k.startswith("level_")])
+    assert len(levels) == n, (len(levels), n)
+    for i, lv in enumerate(levels):
+        ref = g[f"level_{i}"]
+        lv = np.asarray(lv)
+        assert lv.shape == ref.shape
+        err = np.abs(lv - ref).mean()
+        scale = max(np.abs(ref).mean(), 0.5)
+        # 0.05px absolute floor: on the coarsest ~10px grids the PCG-vs-
+        # sequential-ALR trajectory difference is a few hundredths of a
+        # pixel, which the warping fixed point contracts at finer levels
+        # (final-field parity is ~0.2%)
+        assert err < max(0.02 * scale, 0.05), \
+            f"level {i}: AEE {err:.4f} vs scale {scale:.3f}"
+    # final field: sane magnitude for this pair (leftward disparity)
+    err = np.abs(u - g["u"]).mean()
+    assert err / max(np.abs(g["u"]).mean(), 0.5) < 0.02
+
+
+def test_flow_ad_golden_levels():
+    """Anisotropic-tensor flow on Beanbags (crop) vs the literal oracle,
+    level by level (FlowEminAD_llin_2D_v10.m:195-394)."""
+    from pde_tpu.utils.io import load_image_pair
+    from pde_tpu.models.flow_ad import flow_ad
+
+    g = _load("flow_ad_beanbags.npz")
+    b0, b1 = load_image_pair("beanbags")
+    crop = np.s_[:3, 40:168, 140:300]
+    levels = []
+    u, v = flow_ad(b0[crop], b1[crop], "grad", "gradmag", collect=levels)
+    n = len([k for k in g.files if k.startswith("level_") and k.endswith("_u")])
+    assert len(levels) == n, (len(levels), n)
+    # 0.08px absolute floor: the anisotropic robust weight
+    # gd = b/(alpha*sqrt(OPnorm+1e-5)) has slope ~OPnorm^(-3/2) — at
+    # pixels where the constancy residual is ~0, float32 rounding in the
+    # tensors is amplified into O(1) coefficient wobble, so engine-vs-
+    # oracle parity there is noise-limited (the float32 reference itself
+    # wobbles identically against any reimplementation); verified: the
+    # per-solve llin8 fixed points agree to 3e-8 on common inputs.
+    for i, (lu, lv) in enumerate(levels):
+        ru, rv = g[f"level_{i}_u"], g[f"level_{i}_v"]
+        lu, lv = np.asarray(lu), np.asarray(lv)
+        epe = np.sqrt((lu - ru) ** 2 + (lv - rv) ** 2).mean()
+        scale = max(np.sqrt(ru**2 + rv**2).mean(), 0.25)
+        assert epe < max(0.02 * scale, 0.08), \
+            f"level {i}: EPE {epe:.4f} vs scale {scale:.3f}"
+    epe = np.sqrt((np.asarray(u) - g["u"]) ** 2 + (np.asarray(v) - g["v"]) ** 2).mean()
+    scale = max(np.sqrt(g["u"]**2 + g["v"]**2).mean(), 0.25)
+    assert epe < max(0.02 * scale, 0.08)
+
+
+def test_flow_fmg_golden_levels():
+    """FAS full-multigrid flow on Yosemite (crop) vs the literal oracle,
+    checked after every top-level FAS cycle (SURVEY 7.3 #1: the
+    restriction/prolongation scaling is easy to get subtly wrong, so the
+    parity must hold level by level, not just at the end). Matches
+    FlowEminNDFASFMG_elin_2D_v10.m:158-273."""
+    from pde_tpu.utils.io import load_yosemite
+    from pde_tpu.models.flow_fmg import flow_fmg
+
+    g = _load("flow_fmg_yosemite.npz")
+    y0, y1, _, _ = load_yosemite()
+    levels = []
+    u, v = flow_fmg(y0[:128, :160], y1[:128, :160], collect=levels)
+    n = len([k for k in g.files if k.startswith("level_") and k.endswith("_u")])
+    assert len(levels) == n, (len(levels), n)
+    for i, (lu, lv) in enumerate(levels):
+        ru, rv = g[f"level_{i}_u"], g[f"level_{i}_v"]
+        lu, lv = np.asarray(lu), np.asarray(lv)
+        epe = np.sqrt((lu - ru) ** 2 + (lv - rv) ** 2).mean()
+        scale = max(np.sqrt(ru**2 + rv**2).mean(), 0.25)
+        assert epe < max(0.02 * scale, 0.05), \
+            f"cycle {i}: EPE {epe:.4f} vs scale {scale:.3f}"
+    epe = np.sqrt((np.asarray(u) - g["u"]) ** 2 + (np.asarray(v) - g["v"]) ** 2).mean()
+    assert epe / max(np.sqrt(g["u"]**2 + g["v"]**2).mean(), 0.25) < 0.02
+
+
+def test_disp_sym_golden_levels():
+    """Symmetric disparity on Tsukuba (crop) vs the literal oracle, level
+    by level (DispEminND_llin_sym_2D.m:110-266). Sign symmetry: U0 ~ -U1."""
+    from pde_tpu.utils.io import load_image_pair
+    from pde_tpu.models.disparity_sym import disparity_sym
+
+    g = _load("disp_sym_tsukuba.npz")
+    tl, tr = load_image_pair("tsukuba")
+    crop = np.s_[:3, 60:188, 100:260]
+    levels = []
+    u = np.asarray(disparity_sym(tl[crop], tr[crop], collect=levels))
+    n = len([k for k in g.files if k.startswith("level_") and k.endswith("_u0")])
+    assert len(levels) == n, (len(levels), n)
+    # 0.08px floor as in test_flow_ad_golden_levels: the robust data and
+    # symmetry weights amplify float32 rounding at zero-residual pixels
+    for i, (l0, l1) in enumerate(levels):
+        for fld, ref in ((l0, g[f"level_{i}_u0"]), (l1, g[f"level_{i}_u1"])):
+            err = np.abs(np.asarray(fld) - ref).mean()
+            scale = max(np.abs(ref).mean(), 0.5)
+            assert err < max(0.02 * scale, 0.08), \
+                f"level {i}: {err:.4f} vs {scale:.3f}"
+    assert np.abs(u[0] - g["u0"]).mean() / max(np.abs(g["u0"]).mean(), 0.5) < 0.02
+    assert np.abs(u[1] - g["u1"]).mean() / max(np.abs(g["u1"]).mean(), 0.5) < 0.02

@@ -156,7 +156,14 @@ def test_flow_fmg_recovers_translation(rng):
     u, v = np.asarray(u), np.asarray(v)
     inner = np.s_[10:-10, 10:-10]
     assert np.isfinite(u).all() and np.isfinite(v).all()
-    assert abs(np.median(u[inner])) > 0.4
+    # sign matters: must match the warping-flow convention (flow_nd on the
+    # same pair) — a sign-insensitive check let a negated-kernel bug
+    # survive round 2
+    from pde_tpu.models.flow_nd import flow_nd
+
+    und, _ = flow_nd(it0, it1, "grad", "none")
+    s = float(np.sign(np.median(np.asarray(und)[inner])))
+    assert np.median(u[inner]) * s > 0.4
     assert abs(np.median(v[inner])) < 0.3
 
 

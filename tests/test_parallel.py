@@ -75,3 +75,93 @@ def test_make_mesh_single_device_degenerates():
     want = sor_flow_llin4(*args, 2, 1.9)
     for g, w_ in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w_), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Generic tiled wrappers (all solver families) + model-level sharding
+# ---------------------------------------------------------------------------
+
+
+def test_tiled_elin4_matches_single_chip(rng):
+    from pde_tpu.parallel.tiled import tiled_sor_flow_elin4
+    from pde_tpu.solvers.sor import sor_flow_elin4
+
+    u, v, _, _, m, cu, cv, duc, dvc, ww, wn, we, ws = _problem(rng)
+    want = sor_flow_elin4(u, v, m, cu, cv, duc, dvc, ww, wn, we, ws, 3, 1.9)
+    got = tiled_sor_flow_elin4(make_mesh(2, 4), u, v, m, cu, cv, duc, dvc,
+                               ww, wn, we, ws, 3, 1.9)
+    for g, w_ in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w_), atol=1e-5)
+
+
+def test_tiled_llin8_matches_single_chip(rng):
+    from pde_tpu.parallel.tiled import tiled_sor_flow_llin8
+    from pde_tpu.solvers.sor import sor_flow_llin8
+
+    u, v, du, dv, m, cu, cv, duc, dvc, ww, wn, we, ws = _problem(rng)
+    mk = lambda: jnp.asarray(rng.random((32, 48)).astype(np.float32) + 0.1)
+    wnw, wne, wse, wsw = mk(), mk(), mk(), mk()
+    w8 = (ww, wnw, wn, wne, we, wse, ws, wsw)
+    want = sor_flow_llin8(u, v, du, dv, m, cu, cv, duc, dvc, *w8, 3, 1.9)
+    got = tiled_sor_flow_llin8(make_mesh(2, 4), u, v, du, dv, m, cu, cv,
+                               duc, dvc, *w8, 3, 1.9)
+    for g, w_ in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w_), atol=1e-5)
+
+
+def test_tiled_disp_and_pde4_match_single_chip(rng):
+    from pde_tpu.parallel.tiled import tiled_sor_disp_llin4, tiled_sor_pde4
+    from pde_tpu.solvers.sor import sor_disp_llin4, sor_pde4
+
+    u, _, du, _, _, cu, _, duc, _, ww, wn, we, ws = _problem(rng)
+    mesh = make_mesh(2, 4)
+    want = sor_disp_llin4(u, du, cu, duc, ww, wn, we, ws, 3, 1.9)
+    got = tiled_sor_disp_llin4(mesh, u, du, cu, duc, ww, wn, we, ws, 3, 1.9)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    trace = duc + 1.0
+    want = sor_pde4(u, trace, cu, ww, wn, we, ws, 3, 1.75)
+    got = tiled_sor_pde4(mesh, u, trace, cu, ww, wn, we, ws, 3, 1.75)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_sharded_nd_level_matches_single_chip(rng):
+    """A FULL flow_nd pyramid level (warp + derivatives + robust weights +
+    solve) under GSPMD spatial sharding is tile-count invariant."""
+    from functools import partial
+    from pde_tpu.models.flow_nd import _nd_level, FlowNDParams
+    from pde_tpu.parallel.model import sharded_nd_level
+    from pde_tpu.parallel.mesh import make_mesh as mk_mesh
+
+    p = FlowNDParams(firstLoop=2, secondLoop=2, iter=2)
+    h, w = 32, 48
+    img = lambda: jnp.asarray(rng.random((1, h, w)).astype(np.float32))
+    i1t0, i1t1, i2t0, i2t1 = img(), img(), img(), img()
+    u = jnp.zeros((h, w), jnp.float32)
+    v = jnp.zeros((h, w), jnp.float32)
+
+    want = jax.jit(partial(_nd_level, p=p, snd_is_gradmag=True))(
+        u, v, i1t0, i1t1, i2t0, i2t1, None, None, 2.0)
+    mesh = mk_mesh(2, 4)
+    got = sharded_nd_level(mesh, u, v, i1t0, i1t1, i2t0, i2t1, None, None,
+                           2.0, p, True)
+    for g, w_ in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w_),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_fmg_mesh_regather_matches_single_chip(rng):
+    """flow_fmg with a device mesh (fine levels sharded, coarse levels
+    regathered) must equal the single-chip result."""
+    from pde_tpu.models.flow_fmg import flow_fmg
+    from pde_tpu.parallel.mesh import make_mesh as mk_mesh
+
+    a = rng.random((48, 64)).astype(np.float32) * 255.0
+    b = np.roll(a, 1, axis=1)
+    want_u, want_v = flow_fmg(a, b)
+    mesh = mk_mesh(2, 4)
+    got_u, got_v = flow_fmg(a, b, mesh=mesh, shard_min=24)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(want_u),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               atol=1e-4, rtol=1e-4)

@@ -103,3 +103,48 @@ def test_disp_segmentation_warm_start(rng):
         ransac_first=100, ransac_rest=50,
     )
     assert np.isfinite(np.asarray(phi)).all()
+
+
+# ---------------------------------------------------------------------------
+# Real-data fixture (regenerated disparity_maps, SURVEY.md section 4)
+# ---------------------------------------------------------------------------
+
+
+def _fixture():
+    import os
+    import pytest
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "disparity_maps.npz")
+    if not os.path.exists(path):
+        pytest.skip("disparity_maps fixture missing — run "
+                    "scripts/make_seg_fixture.py")
+    return np.load(path)
+
+
+def test_segmentation_dense_real_disparity():
+    """Dense segmentation of the regenerated Tsukuba disparity map
+    (runme.m:158 equivalent): must find several surfaces that cover most
+    of the frame with sane planar fits."""
+    maps = _fixture()
+    dd = maps["dd"][::2, ::2]  # half-res: keeps the CPU suite tractable
+    phi, seg, sparam = disp_segmentation(dd, seeds=6)
+    seg = np.asarray(seg)
+    n_seg = int(np.asarray(phi).shape[0])
+    assert n_seg >= 2, "expected at least two surfaces on Tsukuba"
+    covered = (seg > 0).mean()
+    assert covered > 0.35, f"segments cover only {covered*100:.0f}%"
+    # surfaces should be near-constant-disparity planes within Tsukuba's
+    # range: offsets within the map's disparity range, small tilts
+    sp = np.asarray(sparam)
+    dmin, dmax = float(np.nanmin(dd)), float(np.nanmax(dd))
+    assert ((sp[:, 2] > dmin - 3.0) & (sp[:, 2] < dmax + 3.0)).any()
+
+
+def test_segmentation_sparse_real_disparity():
+    """Sparse variant on the NaN-holed map (DispSegmentationSparse.m)."""
+    maps = _fixture()
+    ds = maps["ds"][::2, ::2]
+    phi, seg, sparam = disp_segmentation_sparse(ds, seeds=4)
+    assert np.asarray(phi).shape[0] >= 1
+    assert np.isfinite(np.asarray(sparam)).all()
