@@ -44,14 +44,15 @@ def nanmedfilt2(x: jnp.ndarray, k: int = 5) -> jnp.ndarray:
 
     NaNs are excluded from the median; an all-NaN window returns NaN.
     """
-    n = _neighbourhood(x, k, "constant", constant_values=jnp.nan)
-    # Sort pushes NaNs to the end; pick the middle of the valid prefix.
-    s = jnp.sort(n, axis=0)
-    cnt = jnp.sum(~jnp.isnan(n), axis=0)
     kk = k * k
     # colfilt zero-pads, so border windows see real zeros, not NaN padding.
     # Re-create that: pad with 0 instead, but count NaNs of the *data* only.
-    n0 = _neighbourhood(jnp.nan_to_num(x, nan=jnp.inf), k, "constant", constant_values=0.0)
+    # NaN -> +inf must be an explicit where: nan_to_num(nan=inf) feeds its
+    # own substitution through posinf handling, yielding finite 3.4e38
+    # values that corrupt the valid-count (and overflow to inf in the
+    # midpoint average).
+    n0 = _neighbourhood(jnp.where(jnp.isnan(x), jnp.inf, x), k,
+                        "constant", constant_values=0.0)
     s0 = jnp.sort(n0, axis=0)  # data NaNs -> +inf sorted last, zero pad participates
     cnt0 = jnp.sum(jnp.isfinite(s0), axis=0)
     lo = jnp.clip((cnt0 - 1) // 2, 0, kk - 1)
@@ -60,5 +61,4 @@ def nanmedfilt2(x: jnp.ndarray, k: int = 5) -> jnp.ndarray:
         jnp.take_along_axis(s0, lo[None], axis=0)[0]
         + jnp.take_along_axis(s0, hi[None], axis=0)[0]
     )
-    del s, cnt
     return jnp.where(cnt0 == 0, jnp.nan, med)

@@ -100,3 +100,22 @@ def imresize_scale(x: jnp.ndarray, scale: float, method: str = "bilinear") -> jn
     """MATLAB ``imresize(x, scale)``: output size = ceil(in * scale)."""
     *_, h, w = x.shape
     return imresize(x, (int(np.ceil(h * scale)), int(np.ceil(w * scale))), method)
+
+
+def imresize_nan(
+    x: jnp.ndarray,
+    out_size: tuple[int, int],
+    method: str = "bilinear",
+) -> jnp.ndarray:
+    """NaN-propagating resize with MATLAB locality.
+
+    :func:`imresize` is a dense matmul, where ``0 * NaN = NaN`` spreads a
+    single NaN across the whole axis; MATLAB only propagates NaN to
+    outputs whose kernel support touches it. Resize the zero-filled
+    values and the NaN indicator separately, and mark outputs NaN where
+    the indicator picked up any contribution.
+    """
+    nanmask = jnp.isnan(x)
+    vals = imresize(jnp.where(nanmask, 0.0, x), out_size, method)
+    touch = imresize(nanmask.astype(jnp.float32), out_size, method)
+    return jnp.where(jnp.abs(touch) > 1e-6, jnp.nan, vals)

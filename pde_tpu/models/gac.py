@@ -115,11 +115,16 @@ def _gac_b_evolve(phi, g, tau, nu, iters: int):
     gdy = imfilter_replicate(g, _CDX[:, None])
 
     def body(_, p):
+        # the reference builds the upwind convection differences with
+        # circshift (GAC_v10b.m:89-92) — WRAP-around at the image border,
+        # unlike every other stencil in the library; kept verbatim for
+        # golden parity (the border effect is attenuated by the small
+        # boundary gdx/gdy and the AOS damping)
         data = (
-            jnp.maximum(gdx, 0.0) * (shift_e(p) - p)
-            + jnp.minimum(gdx, 0.0) * (p - shift_w(p))
-            + jnp.maximum(gdy, 0.0) * (shift_s(p) - p)
-            + jnp.minimum(gdy, 0.0) * (p - shift_n(p))
+            jnp.maximum(gdx, 0.0) * (jnp.roll(p, -1, axis=-1) - p)
+            + jnp.minimum(gdx, 0.0) * (p - jnp.roll(p, 1, axis=-1))
+            + jnp.maximum(gdy, 0.0) * (jnp.roll(p, -1, axis=-2) - p)
+            + jnp.minimum(gdy, 0.0) * (p - jnp.roll(p, 1, axis=-2))
         )
         return _ac_update(p, data, g, tau, nu)
 

@@ -52,7 +52,7 @@ import jax.numpy as jnp
 
 from pde_tpu.config import with_overrides
 from pde_tpu.core.median import nanmedfilt2
-from pde_tpu.core.resize import imresize
+from pde_tpu.core.resize import imresize, imresize_nan
 from pde_tpu.ops.ransac import ransac_surface, surface_features
 from pde_tpu.ops.components import biggest_component_mask
 from pde_tpu.solvers.aos import cv_aos_step
@@ -213,9 +213,13 @@ def _generate_seeds(d_levels, d_fit_levels, pyramid, order, sigma_lim, cset_vect
                 break
 
             if cscl == round(len(pyramid) / 2) - 1 and last_cov is not None:
-                # auto-adjust the minimum variance (:408-412): the reference
-                # recomputes cov from the last distD without the floor
-                min_cov = float(last_cov)
+                # auto-adjust the minimum variance: the reference recomputes
+                # cov from the last distD without the floor — unconditionally
+                # in the dense variant (DispSegmentation.m:408-412), but only
+                # when covect > 0.5 in the sparse one (Sparse.m:418-425),
+                # keeping the 0.7 floor against overconfident tiny variances
+                if (not inlier_lt_100) or float(last_cov) > 0.5:
+                    min_cov = float(last_cov)
 
             nxt = pyramid[cscl + 1]
             if nxt != -1:
@@ -380,7 +384,7 @@ def _build_pyramids(din, p: DispSegParams, sparse: bool):
         nh = int(np.ceil(prev.shape[0] * p.scl_factor))
         nw = int(np.ceil(prev.shape[1] * p.scl_factor))
         if sparse:
-            nxt = nanmedfilt2(imresize(nanmedfilt2(prev, 5), (nh, nw), "bicubic"), 5)
+            nxt = nanmedfilt2(imresize_nan(nanmedfilt2(prev, 5), (nh, nw), "bicubic"), 5)
         else:
             nxt = imresize(prev, (nh, nw), "bicubic")
         d_levels.append(nxt)

@@ -51,6 +51,48 @@ def surface_eval(features: jnp.ndarray, model: jnp.ndarray) -> jnp.ndarray:
     return features @ model
 
 
+def _norm_params(h: int, w: int):
+    """Map 1-based pixel coords onto [-1, 1] (cx, sx, cy, sy)."""
+    cx = (w + 1) / 2.0
+    sx = max((w - 1) / 2.0, 1.0)
+    cy = (h + 1) / 2.0
+    sy = max((h - 1) / 2.0, 1.0)
+    return cx, sx, cy, sy
+
+
+def _model_to_norm(m, cx, sx, cy, sy, k: int):
+    """Original-coordinate coefficients -> normalized-coordinate ones
+    (substitute x = sx*u + cx, y = sy*v + cy)."""
+    if k == 3:
+        a, b, c = m[0], m[1], m[2]
+        return jnp.stack([a * sx, b * sy, a * cx + b * cy + c])
+    a, b, c, d, e, f = m[0], m[1], m[2], m[3], m[4], m[5]
+    return jnp.stack([
+        a * sx * sx,
+        b * sy * sy,
+        c * sx * sy,
+        2.0 * a * sx * cx + c * sx * cy + d * sx,
+        2.0 * b * sy * cy + c * sy * cx + e * sy,
+        a * cx * cx + b * cy * cy + c * cx * cy + d * cx + e * cy + f,
+    ])
+
+
+def _model_from_norm(m, cx, sx, cy, sy, k: int):
+    """Normalized-coordinate coefficients -> original 1-based pixel ones."""
+    if k == 3:
+        a, b, c = m[0], m[1], m[2]
+        return jnp.stack([a / sx, b / sy, c - a * cx / sx - b * cy / sy])
+    a, b, c, d, e, f = m[0], m[1], m[2], m[3], m[4], m[5]
+    axx = a / (sx * sx)
+    byy = b / (sy * sy)
+    cxy = c / (sx * sy)
+    dx = -2.0 * a * cx / (sx * sx) - c * cy / (sx * sy) + d / sx
+    ey = -2.0 * b * cy / (sy * sy) - c * cx / (sx * sy) + e / sy
+    f0 = (a * cx * cx / (sx * sx) + b * cy * cy / (sy * sy)
+          + c * cx * cy / (sx * sy) - d * cx / sx - e * cy / sy + f)
+    return jnp.stack([axx, byy, cxy, dx, ey, f0])
+
+
 @partial(jax.jit, static_argnames=("iters",))
 def ransac_surface(key, data, mask, features, err_thr, cset, iters: int, model_in=None):
     """Fit ``surface_eval(features, model) ~= data`` on ``mask`` pixels.
@@ -66,7 +108,26 @@ def ransac_surface(key, data, mask, features, err_thr, cset, iters: int, model_i
     """
     h, w, k = features.shape
     n_pix = h * w
-    feats = features.reshape(n_pix, k)
+    # Fit in NORMALIZED coordinates (x, y mapped to [-1, 1]): the raw
+    # quadric features (X^2 up to ~5e4 for Middlebury-sized frames) make
+    # the per-hypothesis float32 least squares catastrophically
+    # ill-conditioned when the sample points cluster in a small region —
+    # jnp.linalg.lstsq's rcond truncation then returns models that do not
+    # even interpolate their own sample, so every hypothesis scores zero
+    # inliers. The reference gets away with raw coordinates only because
+    # LAPACK sgels (QR, no cutoff) degrades more gracefully
+    # (SurfaceEquation.c:376-386). Models are transformed back to the
+    # reference's 1-based pixel coordinates on return, so SParam parity
+    # is preserved exactly.
+    cx, sx, cy, sy = _norm_params(h, w)
+    yy, xx = jnp.mgrid[1:h + 1, 1:w + 1]
+    u = ((xx - cx) / sx).astype(jnp.float32).ravel()
+    v = ((yy - cy) / sy).astype(jnp.float32).ravel()
+    one = jnp.ones_like(u)
+    if k == 3:
+        feats = jnp.stack([u, v, one], axis=-1)
+    else:
+        feats = jnp.stack([u * u, v * v, u * v, u, v, one], axis=-1)
     d = data.ravel()
     m = mask.ravel()
     n_data = jnp.sum(m)
@@ -74,14 +135,17 @@ def ransac_surface(key, data, mask, features, err_thr, cset, iters: int, model_i
     err_thr2 = err_thr * err_thr
 
     # --- draw all minimal sets at once (categorical over the mask) ---
+    # k+1 points per hypothesis as the reference (SurfaceEquation.c:218:
+    # n = dimElems[0]+1): one-point-overdetermined LS resists degenerate
+    # draws better than an exactly-determined solve
+    ns = k + 1
     logits = jnp.where(m, 0.0, -jnp.inf)
-    idx = jax.random.categorical(key, logits, shape=(iters, k))  # (iters, k)
+    idx = jax.random.categorical(key, logits, shape=(iters, ns))
 
-    a = feats[idx]  # (iters, k, k)
-    b = d[idx]  # (iters, k)
+    a = feats[idx]  # (iters, ns, k)
+    b = d[idx]  # (iters, ns)
 
     def solve_one(ai, bi):
-        # exactly-determined k x k system; lstsq handles degenerate draws
         sol = jnp.linalg.lstsq(ai, bi)[0]
         return sol
 
@@ -90,7 +154,9 @@ def ransac_surface(key, data, mask, features, err_thr, cset, iters: int, model_i
     if model_in is not None:
         warm = jnp.asarray(model_in, jnp.float32)
         has_warm = jnp.all(jnp.isfinite(warm)) & jnp.any(warm != 0.0)
-        models = jnp.concatenate([jnp.where(has_warm, warm, models[0])[None], models])
+        warm_n = _model_to_norm(warm, cx, sx, cy, sy, k)
+        models = jnp.concatenate(
+            [jnp.where(has_warm, warm_n, models[0])[None], models])
 
     # --- score every hypothesis with masked reductions ---
     def score(model):
@@ -109,6 +175,7 @@ def ransac_surface(key, data, mask, features, err_thr, cset, iters: int, model_i
     best_inlr = jnp.argmax(counts)
     winner = jnp.where(any_licit, best_licit, best_inlr)
 
-    model = models[winner]
-    err = ((feats @ model - d) ** 2).reshape(h, w)
+    model_n = models[winner]
+    err = ((feats @ model_n - d) ** 2).reshape(h, w)
+    model = _model_from_norm(model_n, cx, sx, cy, sy, k)
     return model, err

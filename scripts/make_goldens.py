@@ -17,18 +17,48 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-from pde_tpu.utils.io import load_yosemite, load_image_pair
+from pde_tpu.utils.io import load_yosemite, load_image_pair, load_image
 from tests.oracle import (flow_nd_oracle, flow_hs_oracle, tv_denoise4_oracle,
                           disp_nd_oracle, flow_ad_oracle, flow_fmg_oracle,
-                          disp_sym_oracle)
+                          disp_sym_oracle, gac_oracle)
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "tests", "golden")
 
 
 def main():
+    only = sys.argv[1] if len(sys.argv) > 1 else ""
     os.makedirs(OUT, exist_ok=True)
     t0 = time.time()
+
+    if not only or "gac" in only:
+        # GAC a+b on the reference contour demo input (runme.m:118-128):
+        # the unsmoothed road frame, initial mask PHI(42:175,115:217)=1,
+        # reference defaults (ITER=100)
+        dr = load_image(os.path.join("/root/reference/images/drivsco",
+                                     "c_tour_03_L_4980.jpg")) / 255.0
+        h, w = dr.shape[1:]
+        phi0 = -np.ones((h, w), np.float32)
+        phi0[41:175, 114:217] = 1.0
+        pa = gac_oracle(dr, phi0, model="a")
+        pb = gac_oracle(dr, phi0, model="b")
+        np.savez(os.path.join(OUT, "gac_ctour.npz"), phi0=phi0,
+                 phi_a=pa, phi_b=pb)
+        print(f"[{time.time()-t0:6.1f}s] gac golden: inside_a"
+              f" {(pa>=0).mean()*100:.1f}% inside_b {(pb>=0).mean()*100:.1f}%")
+
+    if not only or "tv8" in only:
+        # TV8 on the denoising demo input (runme.m:144: the drivsco road
+        # frame), gray crop, reference defaults (alpha=500, 20x4)
+        from tests.oracle import tv_denoise8_oracle
+        dr = load_image(os.path.join("/root/reference/images/drivsco",
+                                     "c_tour_03_L_4980.jpg")) / 255.0
+        gray8 = dr.mean(axis=0)[100:196, 140:268].astype(np.float32)
+        out8 = tv_denoise8_oracle(gray8)
+        np.savez(os.path.join(OUT, "tv8_ctour.npz"), img=gray8, out=out8)
+        print(f"[{time.time()-t0:6.1f}s] tv8 golden done")
+    if only:
+        return
 
     y0, y1, gtu, gtv = load_yosemite()
     crop = np.s_[:128, :160]

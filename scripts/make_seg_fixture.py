@@ -26,6 +26,17 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
+import jax
+
+# the container's sitecustomize forces jax_platforms="axon,cpu" (tunnelled
+# TPU with a large fixed cost per call) — force the CPU backend before any
+# backend initialises, as tests/conftest.py does
+jax.config.update("jax_platforms", "cpu")
+os.makedirs("/root/.cache/jax_comp", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -909,7 +909,7 @@ def disp_nd_oracle(il, ir, fst_term="grad", snd_term="gradmag",
 # ---------------------------------------------------------------------------
 
 
-def _ad_diff_weights_np(d, quantile=0.9):
+def _ad_diff_weights_np(d, quantile=0.9, zero_borders=False, round_eps=False):
     """ADdiffWeights (FlowEminAD_llin_2D_v10.m:416-488): Alvarez 3x3
     derivators (imfilter 'conv'), max-gradient channel selection, adaptive
     lambda at the given quantile of nonzero |grad|^2, diffusion-tensor
@@ -934,8 +934,10 @@ def _ad_diff_weights_np(d, quantile=0.9):
 
     nz = np.sort(norm_max.ravel()[norm_max.ravel() != 0])
     if nz.size:
-        # MATLAB: sorted(round(numel*q)), 1-based
-        lam = nz[min(max(int(round(nz.size * quantile)) - 1, 0), nz.size - 1)]
+        # MATLAB: sorted(round(numel*q)), 1-based; TVdenoise8.m:200 adds
+        # +eps inside the round
+        q = nz.size * quantile + (np.finfo(np.float64).eps if round_eps else 0.0)
+        lam = nz[min(max(int(np.floor(q + 0.5)) - 1, 0), nz.size - 1)]
     else:
         lam = 1.0
     mult = 1.0 / (norm_max + 2 * lam)
@@ -954,7 +956,86 @@ def _ad_diff_weights_np(d, quantile=0.9):
     se = 0.25 * (dxy + cs(dxy, (-1, -1)))
     s = 0.5 * (dxx + cs(dxx, (-1, 0)))
     sw = -0.25 * (dxy + cs(dxy, (-1, 1)))
+    if zero_borders:  # TVdenoise8.m:213-220
+        w[:, 0] = 0.0
+        nw[:, 0] = 0.0
+        nw[0, :] = 0.0
+        n_[0, :] = 0.0
+        ne[:, -1] = 0.0
+        ne[0, :] = 0.0
+        e[:, -1] = 0.0
+        se[:, -1] = 0.0
+        se[-1, :] = 0.0
+        s[-1, :] = 0.0
+        sw[-1, :] = 0.0
+        sw[:, 0] = 0.0
     return w, nw, n_, ne, e, se, s, sw
+
+
+def gs_sor_pde8(x, trace, b, ww, wnw, wn, wne, we, wse, ws, wsw, iters, omega):
+    """Pointwise lexicographic GS-SOR, diagonal form, 8-neighbour
+    (GS_SOR_8_2d, pdeSolvers.c:153-268): interior sweep with NaN-TRACE
+    pure-diffusion fallback, then 1-px border replication each sweep
+    (rows first, then columns incl. corners)."""
+    x = x.astype(np.float32).copy()
+    h, w = x.shape
+    tr_nan = np.isnan(trace)
+    wsum8 = ww + wnw + wn + wne + we + wse + ws + wsw
+    inv_tr = np.where(tr_nan, 1.0 / wsum8, 1.0 / np.where(tr_nan, 1.0, trace))
+    b_eff = np.where(tr_nan, 0.0, b).astype(np.float32)
+    for _ in range(iters):
+        for j in range(1, w - 1):
+            for i in range(1, h - 1):
+                nb = (x[i, j + 1] * we[i, j] + x[i, j - 1] * ww[i, j]
+                      + x[i + 1, j] * ws[i, j] + x[i - 1, j] * wn[i, j]
+                      + x[i + 1, j - 1] * wsw[i, j] + x[i - 1, j - 1] * wnw[i, j]
+                      + x[i + 1, j + 1] * wse[i, j] + x[i - 1, j + 1] * wne[i, j])
+                x[i, j] = ((1.0 - omega) * x[i, j]
+                           + omega * (b_eff[i, j] + nb) * inv_tr[i, j])
+        x[0, :] = x[1, :]
+        x[-1, :] = x[-2, :]
+        x[:, 0] = x[:, 1]
+        x[:, -1] = x[:, -2]
+    return x
+
+
+def tv_denoise8_oracle(img, alpha=500.0, omega=1.75, outer=20, inner=4,
+                       scl=0.75, scl_factor=0.75, quantile=0.5):
+    """Literal port of TVdenoise8.m (pyramid :55-75 with the coarsest
+    level left unsmoothed — the Itin typo at :72 — and the anisotropic
+    tensor weights with zeroed borders :119-231), single channel."""
+    img = img.astype(np.float64)
+    g = _fspecial_gaussian((5, 5), 1.25)
+    ds_r = int(np.ceil(img.shape[0] * scl))
+    ds_c = int(np.ceil(img.shape[1] * scl))
+    levels = [img]
+    raw = img
+    while True:
+        nxt = _imresize_np(raw, (int(np.ceil(raw.shape[0] * scl_factor)),
+                                 int(np.ceil(raw.shape[1] * scl_factor))))
+        levels[-1] = _imfilter_rep(levels[-1], g)
+        levels.append(nxt)
+        raw = nxt
+        if nxt.shape[0] <= ds_r or nxt.shape[1] <= ds_c:
+            break  # coarsest level NOT smoothed (Itin typo, TVdenoise8.m:72)
+    iout = levels[-1]
+    eps = np.finfo(np.float64).eps
+    for lvl in range(len(levels) - 1, -1, -1):
+        f = levels[lvl]
+        for _ in range(outer + 1):
+            w8 = _ad_diff_weights_np(iout, quantile=quantile,
+                                     zero_borders=True, round_eps=True)
+            psi = 1.0 / np.sqrt((iout - f) ** 2 + eps)
+            trace = psi + alpha * np.sum(w8, axis=0)
+            b = psi * f
+            iout = gs_sor_pde8(
+                iout.astype(np.float32), trace.astype(np.float32),
+                b.astype(np.float32),
+                *[(alpha * wx).astype(np.float32) for wx in w8],
+                inner, omega).astype(np.float64)
+        if lvl > 0:
+            iout = _imresize_np(iout, levels[lvl - 1].shape)
+    return iout.astype(np.float32)
 
 
 def seq_alr_llin8(u, v, du, dv, m, cu, cv, duc, dvc, w8, iters, omega):
@@ -1463,3 +1544,156 @@ def disp_sym_oracle(il, ir, alpha=0.035, beta=0.4, omega=1.9, first_loop=3,
             u0 = _imresize_np(u0 / scl_factor, (nh, nw), "bilinear")
             u1 = _imresize_np(u1 / scl_factor, (nh, nw), "bilinear")
     return u0.astype(np.float32), u1.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Geodesic active contours (GAC_v10a.m / GAC_v10b.m + levelsetSolvers.c)
+# ---------------------------------------------------------------------------
+
+
+def _reinit_np(phi, steps):
+    """reinit, levelsetSolvers.c:969-1118 (plain-C path): explicit Euler
+    dt=0.25 of PHI_t + S(PHI)(|grad PHI| - 1) = 0, Peng blurred sign
+    (:1280-1303), Rouy-Tourin Godunov upwind with one-sided differences
+    zeroed at the image edge (:1311-1388), central differences with
+    replicate ends for the sign's gradient (:880-961)."""
+    phi = phi.astype(np.float32).copy()
+    flt_eps = np.float32(np.finfo(np.float32).eps)
+    for _ in range(steps):
+        px = np.empty_like(phi)
+        py = np.empty_like(phi)
+        px[:, 1:-1] = 0.5 * (phi[:, 2:] - phi[:, :-2])
+        px[:, 0] = 0.5 * (phi[:, 1] - phi[:, 0])
+        px[:, -1] = 0.5 * (phi[:, -1] - phi[:, -2])
+        py[1:-1, :] = 0.5 * (phi[2:, :] - phi[:-2, :])
+        py[0, :] = 0.5 * (phi[1, :] - phi[0, :])
+        py[-1, :] = 0.5 * (phi[-1, :] - phi[-2, :])
+        s = phi / np.sqrt(phi * phi + np.sqrt(px * px + py * py) + flt_eps)
+
+        fd_x = np.zeros_like(phi)
+        bd_x = np.zeros_like(phi)
+        fd_y = np.zeros_like(phi)
+        bd_y = np.zeros_like(phi)
+        fd_x[:, :-1] = phi[:, 1:] - phi[:, :-1]
+        bd_x[:, 1:] = phi[:, 1:] - phi[:, :-1]
+        fd_y[:-1, :] = phi[1:, :] - phi[:-1, :]
+        bd_y[1:, :] = phi[1:, :] - phi[:-1, :]
+
+        def rt(bd, fd):
+            pos = s > 0.0
+            return np.where(
+                pos,
+                np.maximum(np.maximum(bd, 0.0) ** 2, np.minimum(fd, 0.0) ** 2),
+                np.maximum(np.minimum(bd, 0.0) ** 2, np.maximum(fd, 0.0) ** 2),
+            )
+
+        gx2 = rt(bd_x, fd_x)
+        gy2 = rt(bd_y, fd_y)
+        phi = phi + np.float32(0.25) * (s - s * np.sqrt(gx2 + gy2))
+    return phi
+
+
+def _thomas_np(a, b, c, d):
+    """Vectorised Thomas solve along the LAST axis (forward sweep
+    cp/dp + backsubstitution, AC_TDMA_column4, levelsetSolvers.c:705-…)."""
+    n = d.shape[-1]
+    cp = np.zeros_like(d)
+    dp = np.zeros_like(d)
+    cp[..., 0] = c[..., 0] / b[..., 0]
+    dp[..., 0] = d[..., 0] / b[..., 0]
+    for i in range(1, n):
+        div = 1.0 / (b[..., i] - cp[..., i - 1] * a[..., i])
+        cp[..., i] = c[..., i] * div
+        dp[..., i] = (d[..., i] - dp[..., i - 1] * a[..., i]) * div
+    x = np.zeros_like(d)
+    x[..., -1] = dp[..., -1]
+    for i in range(n - 2, -1, -1):
+        x[..., i] = dp[..., i] - cp[..., i] * x[..., i + 1]
+    return x
+
+
+def _aos_ac_np(phi, data, grad, diff, tau, nu):
+    """AC_AOS_4_2d (levelsetSolvers.c:145-181): u+ = x_v + x_h, each pass
+    solving (2 + nu*(Dp+Dn)) x - nu*Dp x_prev - nu*Dn x_next = PHI + tau*D
+    with harmonic-averaged Dn = 2*tau*G/(Diff_i + Diff_next) (0 when the
+    sum <= 0), followed by one reinit(0.25) Euler step (:179)."""
+    rhs = phi + tau * data
+
+    def pass_along(axis):
+        p = np.moveaxis(rhs, axis, -1)
+        g = np.moveaxis(grad, axis, -1)
+        df = np.moveaxis(diff, axis, -1)
+        nxt = np.concatenate([df[..., 1:], df[..., -1:]], axis=-1)
+        prv = np.concatenate([df[..., :1], df[..., :-1]], axis=-1)
+        sn = df + nxt
+        sp = df + prv
+        dn = np.where(sn > 0.0, 2.0 * tau * g / np.where(sn > 0.0, sn, 1.0), 0.0)
+        dp_ = np.where(sp > 0.0, 2.0 * tau * g / np.where(sp > 0.0, sp, 1.0), 0.0)
+        dn[..., -1] = 0.0
+        dp_[..., 0] = 0.0
+        x = _thomas_np(-nu * dp_, 2.0 + nu * (dn + dp_), -nu * dn, p)
+        return np.moveaxis(x, -1, axis)
+
+    out = pass_along(0) + pass_along(1)
+    out = np.where(diff == 0.0, phi, out)
+    return _reinit_np(out, 1)
+
+
+def gac_oracle(img, phi0, model="a", tau=0.25, c=-0.1, lam=-1.0,
+               iters=100, nu=100.0, collect=None):
+    """GAC_v10a.m / GAC_v10b.m literal port. img: (C, H, W) in [0, 1];
+    phi0: (H, W) initial mask (>0 inside)."""
+    img = np.asarray(img, np.float32)
+    if img.ndim == 2:
+        img = img[None]
+    phi = _reinit_np(np.asarray(phi0, np.float32), 40)
+
+    g7 = _fspecial_gaussian((7, 7), 2.5)
+    odx = np.array([[-0.5, 0.0, 0.5]], np.float32)
+    sm = np.stack([_imfilter_rep(ch, g7) for ch in img])
+    idx = np.max(np.stack([_imfilter_rep(ch, odx) for ch in sm]), axis=0)
+    idy = np.max(np.stack([_imfilter_rep(ch, odx.T) for ch in sm]), axis=0)
+    igrad = idx * idx + idy * idy
+    if lam < 0:
+        flat = np.sort(igrad.ravel())
+        lam = flat[int(np.floor(0.7 * flat.size + 0.5)) - 1]  # MATLAB round, 1-based
+    g = 1.0 / (1.0 + igrad / lam)
+    if model == "b":
+        gdx = _imfilter_rep(g, odx)
+        gdy = _imfilter_rep(g, odx.T)
+
+    eps_d = np.finfo(np.float64).eps
+    for _ in range(iters):
+        px = _imfilter_rep(phi, odx)
+        py = _imfilter_rep(phi, odx.T)
+        if model == "a":
+            fd_x = np.zeros_like(phi)
+            bd_x = np.zeros_like(phi)
+            fd_y = np.zeros_like(phi)
+            bd_y = np.zeros_like(phi)
+            # imfilter(PHI, [0 -1 1], 'replicate') etc. (GAC_v10a.m:88-92)
+            fd_x[:, :-1] = phi[:, 1:] - phi[:, :-1]
+            bd_x[:, 1:] = phi[:, 1:] - phi[:, :-1]
+            fd_y[:-1, :] = phi[1:, :] - phi[:-1, :]
+            bd_y[1:, :] = phi[1:, :] - phi[:-1, :]
+            if c <= 0:
+                guw = np.sqrt(np.maximum(bd_x, 0) ** 2 + np.minimum(fd_x, 0) ** 2
+                              + np.maximum(bd_y, 0) ** 2 + np.minimum(fd_y, 0) ** 2)
+            else:
+                guw = np.sqrt(np.minimum(bd_x, 0) ** 2 + np.maximum(fd_x, 0) ** 2
+                              + np.minimum(bd_y, 0) ** 2 + np.maximum(fd_y, 0) ** 2)
+            data = c * g * guw
+        else:
+            # circshift-based (WRAP) upwind convection (GAC_v10b.m:89-92)
+            data = (np.maximum(gdx, 0) * (np.roll(phi, -1, axis=1) - phi)
+                    + np.minimum(gdx, 0) * (phi - np.roll(phi, 1, axis=1))
+                    + np.maximum(gdy, 0) * (np.roll(phi, -1, axis=0) - phi)
+                    + np.minimum(gdy, 0) * (phi - np.roll(phi, 1, axis=0)))
+        grad_phi = np.sqrt(px * px + py * py + eps_d).astype(np.float32)
+        diff = grad_phi / g
+        phi = _aos_ac_np(phi.astype(np.float32), data.astype(np.float32),
+                         grad_phi, diff.astype(np.float32),
+                         np.float32(tau), np.float32(nu))
+        if collect is not None:
+            collect.append(phi.copy())
+    return phi

@@ -215,3 +215,40 @@ def test_disp_sym_golden_levels():
                 f"level {i}: {err:.4f} vs {scale:.3f}"
     assert np.abs(u[0] - g["u0"]).mean() / max(np.abs(g["u0"]).mean(), 0.5) < 0.02
     assert np.abs(u[1] - g["u1"]).mean() / max(np.abs(g["u1"]).mean(), 0.5) < 0.02
+
+
+def test_gac_golden_parity():
+    """GAC a+b on the reference contour demo input (runme.m:118-128,
+    c_tour road frame, full resolution, reference defaults ITER=100) vs
+    the literal oracle: the evolved level sets must agree everywhere and
+    the recovered contours must coincide."""
+    from pde_tpu.utils.io import load_image
+    from pde_tpu.models.gac import gac_a, gac_b
+
+    g = _load("gac_ctour.npz")
+    dr = load_image("/root/reference/images/drivsco/c_tour_03_L_4980.jpg") / 255.0
+    phi0 = g["phi0"]
+    for fn, key in ((gac_a, "phi_a"), (gac_b, "phi_b")):
+        phi = np.asarray(fn(dr, phi0))
+        ref = g[key]
+        scale = np.abs(ref).mean()
+        assert np.abs(phi - ref).mean() < 0.02 * scale, \
+            (key, np.abs(phi - ref).mean(), scale)
+        inter = ((phi >= 0) & (ref >= 0)).sum()
+        union = max(((phi >= 0) | (ref >= 0)).sum(), 1)
+        assert inter / union > 0.99, (key, inter / union)
+
+
+def test_tv8_golden_parity():
+    """Anisotropic (tensor) TV denoise on the denoising demo input
+    (runme.m:144, drivsco road frame, gray crop) at reference defaults
+    vs the literal oracle (TVdenoise8.m incl. the unsmoothed-coarsest-
+    level typo and zeroed border weights)."""
+    from pde_tpu.models.tv_denoise import tv_denoise8
+
+    g = _load("tv8_ctour.npz")
+    out = np.asarray(tv_denoise8(g["img"], solver=1))
+    ref = g["out"]
+    rng = ref.max() - ref.min()
+    assert np.abs(out - ref).max() < 0.10 * rng
+    assert np.sqrt(np.mean((out - ref) ** 2)) < 0.02 * rng
