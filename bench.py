@@ -29,12 +29,46 @@ Measurement notes
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
 H = W = 1024
 REPS = 3
+
+# HBM bandwidth per chip (GB/s) by device kind, for speed-of-light
+# accounting; conservative public numbers.
+_HBM_GBPS = {
+    "TPU v4": 1228.0,
+    "TPU v5 lite": 819.0,
+    "TPU v5e": 819.0,
+    "TPU v5": 2765.0,
+    "TPU v5p": 2765.0,
+    "TPU v6 lite": 1638.0,
+    "TPU v6e": 1638.0,
+}
+
+
+def _hbm_gbps(device) -> float:
+    kind = getattr(device, "device_kind", "")
+    for k, vv in _HBM_GBPS.items():
+        if kind.startswith(k):
+            return vv
+    return 819.0
+
+
+def _oracle_e2e_seconds():
+    """Single-core CPU baseline for flow_nd on Yosemite, measured once by
+    scripts/bench_oracle_e2e.py (vectorised-NumPy flavour: the optimistic
+    stand-in for the reference's C MEX single-core path)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "golden", "oracle_e2e.json")
+    try:
+        with open(path) as f:
+            return float(json.load(f)["solver1_vectorised_numpy_s"])
+    except Exception:
+        return 0.0
 
 
 def numpy_sweep_throughput(h=256, w=256, iters=4):
@@ -142,16 +176,38 @@ def main():
 
     # --- HEADLINE first (cheapest compiles; re-emitted last) -------------
     from pde_tpu.kernels import sweeps as ksweeps
-    from pde_tpu.kernels.tiled import tiled_relax
+    from pde_tpu.kernels.tiled import tiled_relax, plan_stripes, _halo_for
     prep, sw = ksweeps.flow_llin4_sweep(1.9)
     consts = (u, v, m, cu, cv, duc, dvc, ww, wn, we, ws)
+
+    trace_dir = None
+    if "--trace" in sys.argv:
+        trace_dir = "/tmp/pde_tpu_trace"
+        jax.profiler.start_trace(trace_dir)
+
     dt = chained_sweep_time(
         lambda a, b, it: tiled_relax((a, b) + consts, sw, 2, it,
                                      k_max=4, prepare_fn=prep))
+    if trace_dir is not None:
+        jax.profiler.stop_trace()
+        print(f"# profiler trace written to {trace_dir}", flush=True)
     tiled_rate = H * W / dt / 1e6
     headline = ("llin4 flow SOR sweep, Pallas tiled kernel (1024x1024, "
                 "sustained; temporal blocking k=4)")
     emit(headline, tiled_rate, "Mpix-iters/s", tiled_rate / base)
+
+    # bandwidth accounting: the stripe engine moves (13 reads + 2 writes)
+    # fields once per k-sweep chunk, plus the 2*halo overlap rows
+    try:
+        k, stripe, _ = plan_stripes(H, W, 13, 4096, 4)
+        halo = _halo_for(k)
+        bytes_per_pix_iter = 15 * 4 / k * (1 + 2 * halo / stripe)
+        gbps = tiled_rate * 1e6 * bytes_per_pix_iter / 1e9
+        sol = _hbm_gbps(jax.devices()[0])
+        emit(f"headline kernel HBM bandwidth (bytes/pix-iter={bytes_per_pix_iter:.1f})",
+             gbps, "GB/s", gbps / sol)  # vs_baseline = fraction of HBM speed-of-light
+    except Exception as e:
+        print(f"# bandwidth accounting failed: {e!r}", flush=True)
 
     # --- XLA red-black SOR (the pure-XLA path, for comparison) ----------
     try:
@@ -165,45 +221,51 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"# xla sweep failed: {e!r}", flush=True)
 
-    # --- secondary kernels: single program each, whole-call timing ------
+    # --- line-implicit and level-set kernels: MARGINAL rates -------------
+    # (chained iteration-count differencing, same methodology note as the
+    # headline: the axon tunnel's fixed per-call cost would otherwise
+    # dominate; a real deployment dispatches on-host.)
     try:
         from pde_tpu.solvers.tdma import alr_flow_llin4
-        it = 32
-        dt = call_inclusive(
-            lambda: alr_flow_llin4(u, v, du, dv, m, cu, cv, duc, dvc,
-                                   ww, wn, we, ws, it, 1.9))
-        emit("llin4 flow zebra-ALR (batched TDMA) sweep (1024x1024, whole-call)",
-             H * W * it / dt / 1e6, "Mpix-iters/s", (H * W * it / dt / 1e6) / base)
+        dt = chained_sweep_time(
+            lambda a, b, it: alr_flow_llin4(u, v, a, b, m, cu, cv, duc, dvc,
+                                            ww, wn, we, ws, it, 1.9),
+            i1=8, i2=64)
+        emit("llin4 flow zebra-ALR (batched TDMA, cyclic-reduction lines) sweep (1024x1024, sustained)",
+             H * W / dt / 1e6, "Mpix-iters/s", (H * W / dt / 1e6) / base)
     except Exception as e:
         print(f"# alr sweep failed: {e!r}", flush=True)
 
     try:
         from pde_tpu.solvers.krylov import pcg_flow_llin4
-        it = 32
-        dt = call_inclusive(
-            lambda: pcg_flow_llin4(u, v, du, dv, m, cu, cv, duc, dvc,
-                                   ww, wn, we, ws, it, 1.9))
-        emit("llin4 flow PCG (zebra-ADI preconditioned) iteration (1024x1024, whole-call)",
-             H * W * it / dt / 1e6, "Mpix-iters/s", (H * W * it / dt / 1e6) / base)
+        dt = chained_sweep_time(
+            lambda a, b, it: pcg_flow_llin4(u, v, a, b, m, cu, cv, duc, dvc,
+                                            ww, wn, we, ws, it, 1.9),
+            i1=8, i2=64)
+        emit("llin4 flow PCG (zebra-ADI preconditioned) iteration (1024x1024, sustained)",
+             H * W / dt / 1e6, "Mpix-iters/s", (H * W / dt / 1e6) / base)
     except Exception as e:
         print(f"# pcg failed: {e!r}", flush=True)
 
     try:
         from pde_tpu.solvers.aos import cv_aos_step
+        import functools
         phi = field(2.0) - 1.0
         data = field(0.5)
         dh = 1.0 / (np.pi * (1.0 + phi**2))
         gphi = field(0.5) + 0.5
-        it = 16
 
-        @jax.jit
-        def aos(p):
-            for _ in range(it):
-                p = cv_aos_step(p, data, dh, gphi, 0.25, 1000.0)
-            return p
-        dt = call_inclusive(lambda: aos(phi))
-        emit("Chan-Vese AOS step (1024x1024, whole-call)",
-             H * W * it / dt / 1e6, "Mpix-steps/s", (H * W * it / dt / 1e6) / base)
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def aos(p, q, iters):
+            def body(_, pq):
+                p_, q_ = pq
+                return cv_aos_step(p_, data, dh, gphi, 0.25, 1000.0), p_
+            return jax.lax.fori_loop(0, iters, body, (p, q))
+
+        dt = chained_sweep_time(
+            lambda a, b, it: aos(a, b, it), i1=8, i2=64)
+        emit("Chan-Vese AOS step (1024x1024, sustained)",
+             H * W / dt / 1e6, "Mpix-steps/s", (H * W / dt / 1e6) / base)
     except Exception as e:
         print(f"# aos failed: {e!r}", flush=True)
 
@@ -218,23 +280,29 @@ def main():
         print(f"# reinit failed: {e!r}", flush=True)
 
     # --- end-to-end flagship model --------------------------------------
+    # One fused program per frame (flow_nd_fused); baseline = measured
+    # single-core vectorised-NumPy oracle wall-clock on the same pair
+    # (scripts/bench_oracle_e2e.py -> tests/golden/oracle_e2e.json).
     try:
         from pde_tpu.utils.io import load_yosemite
-        from pde_tpu.models.flow_nd import flow_nd
+        from pde_tpu.models.flow_nd import flow_nd_fused
         y0, y1, _, _ = load_yosemite()
+        y0 = jnp.asarray(y0)
+        y1 = jnp.asarray(y1)
+
         def e2e():
-            uo, vo = flow_nd(y0, y1, "grad", "gradmag")
+            uo, vo = flow_nd_fused(y0, y1, "grad", "gradmag")
             _sync(uo)
-        e2e()  # compile all levels
+        e2e()  # compile the whole-frame program
         best = float("inf")
         for _ in range(REPS):
             t0 = time.perf_counter()
             e2e()
             best = min(best, time.perf_counter() - t0)
-        # no NumPy twin is run here (the sequential oracle takes minutes
-        # per frame); vs_baseline=0 marks "unbaselined"
-        emit(f"flow_nd end-to-end, Yosemite {y0.shape} (TPU defaults, incl. tunnel overhead)",
-             1.0 / best, "frames/s", 0.0)
+        base_e2e = _oracle_e2e_seconds()
+        vsb = (base_e2e / best) if base_e2e > 0 else 0.0
+        emit(f"flow_nd end-to-end, Yosemite {tuple(y0.shape)} (fused single-dispatch, incl. tunnel overhead)",
+             1.0 / best, "frames/s", vsb)
     except Exception as e:
         print(f"# e2e failed: {e!r}", flush=True)
 

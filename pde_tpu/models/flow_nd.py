@@ -153,6 +153,20 @@ def _nd_level(u, v, i1t0, i1t1, i2t0, i2t1, us_ap, vs_ap, as_diff, p: "FlowNDPar
     return u, v
 
 
+@partial(jax.jit, static_argnames=("fst_term", "snd_term", "params"))
+def flow_nd_fused(it0, it1, fst_term: str = "grad", snd_term: str = "gradmag",
+                  params: FlowNDParams | None = None):
+    """Whole-frame fused variant: the ENTIRE coarse-to-fine solve —
+    pyramid build, per-level warping loops, upscales — traces into ONE
+    device program, so a frame costs a single dispatch (the reference
+    crossed the MATLAB<->MEX boundary ~160 times per pair,
+    FlowEminND_llin_2D_v10.m:332-348; the per-level path still costs
+    ~30 dispatches, which dominates wall-clock through a high-latency
+    link). Shapes/params are static; reuse one (H, W) signature to reuse
+    the compiled program."""
+    return flow_nd(it0, it1, fst_term, snd_term, params)
+
+
 def flow_nd(it0, it1, fst_term: str = "grad", snd_term: str = "gradmag",
             params: FlowNDParams | None = None, us=None, vs=None,
             collect: list | None = None, **overrides):

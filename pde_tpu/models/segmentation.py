@@ -279,15 +279,19 @@ def _rc_recompute(key, phi, d, d_fit, surface, min_cov, cset, alive,
     dh = _delta_heaviside(phi, floor=0.06)  # (:535-536)
     grad = _grad_mag(phi)
 
-    eye = jnp.eye(s, dtype=bool)[:, :, None, None]  # (S, S, 1, 1)
-
     def others_max(q):
         # for each segment s: max over t != s of q[t]; empty set -> 0
-        # (MATLAB max over an empty 3rd dim leaves the zero-initialised WC)
-        tile = jnp.broadcast_to(q[None], (s, s, h, w))
-        masked = jnp.where(eye, -jnp.inf, tile)
-        out = jnp.max(masked, axis=1)
-        return jnp.where(jnp.isfinite(out), out, 0.0)
+        # (MATLAB max over an empty 3rd dim leaves the zero-initialised WC).
+        # O(S*H*W) via the top-2 trick (the reference's per-segment loop,
+        # DispSegmentation.m:590-618, is O(S*H*W) too): leave-one-out max
+        # is the global max unless segment s IS the argmax, then the
+        # runner-up.
+        top1 = jnp.max(q, axis=0)
+        arg1 = jnp.argmax(q, axis=0)
+        is_arg = jnp.arange(s)[:, None, None] == arg1[None]
+        top2 = jnp.max(jnp.where(is_arg, -jnp.inf, q), axis=0)
+        out = jnp.where(is_arg, top2[None], top1[None])
+        return jnp.where(jnp.isfinite(out), jnp.broadcast_to(out, (s, h, w)), 0.0)
 
     if strategy == "surface":
         wc = others_max(p)

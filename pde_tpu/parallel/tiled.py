@@ -64,120 +64,22 @@ def _halo_shifts(x, halo: int = 1):
     )
 
 
-def _global_masks(h: int, w: int):
-    """(interior&color0, interior&color1) masks in GLOBAL coordinates."""
-    nty = _axis_or_one("ty")
-    ntx = _axis_or_one("tx")
-    ti = lax.axis_index("ty") if nty > 1 else 0
-    tj = lax.axis_index("tx") if ntx > 1 else 0
-    gi = ti * h + jnp.arange(h)[:, None]
-    gj = tj * w + jnp.arange(w)[None, :]
-    gh, gw = nty * h, ntx * w
-    inter = (gi >= 1) & (gi <= gh - 2) & (gj >= 1) & (gj <= gw - 2)
-    color = (gi + gj) % 2
-    return inter & (color == 0), inter & (color == 1)
-
-
-def _full_masks(h: int, w: int):
-    """(color0, color1) over ALL global pixels (border-solving families)."""
-    nty = _axis_or_one("ty")
-    ntx = _axis_or_one("tx")
-    ti = lax.axis_index("ty") if nty > 1 else 0
-    tj = lax.axis_index("tx") if ntx > 1 else 0
-    gi = ti * h + jnp.arange(h)[:, None]
-    gj = tj * w + jnp.arange(w)[None, :]
-    color = (gi + gj) % 2
-    return color == 0, color == 1
-
-
-def _global_edge_masks(h: int, w: int):
-    """(left, top, right, bottom) global-edge masks for a local tile."""
-    nty = _axis_or_one("ty")
-    ntx = _axis_or_one("tx")
-    ti = lax.axis_index("ty") if nty > 1 else 0
-    tj = lax.axis_index("tx") if ntx > 1 else 0
-    gi = ti * h + jnp.arange(h)[:, None]
-    gj = tj * w + jnp.arange(w)[None, :]
-    gh, gw = nty * h, ntx * w
-    left = jnp.broadcast_to(gj == 0, (h, w))
-    right = jnp.broadcast_to(gj == gw - 1, (h, w))
-    top = jnp.broadcast_to(gi == 0, (h, w))
-    bot = jnp.broadcast_to(gi == gh - 1, (h, w))
-    return left, top, right, bot
-
-
-def _tiled_replicate_border(x):
-    """Global 1-px replicated border fill (opticalflowSolvers.c:156-179):
-    rows first then columns, applied only on mesh-edge tiles."""
-    nty = _axis_or_one("ty")
-    ntx = _axis_or_one("tx")
-    ti = lax.axis_index("ty") if nty > 1 else 0
-    tj = lax.axis_index("tx") if ntx > 1 else 0
-    # rows: global row 0 <- row 1, row GH-1 <- row GH-2
-    top = jnp.where(ti == 0, x[..., 1:2, :], x[..., :1, :])
-    bot = jnp.where(ti == nty - 1, x[..., -2:-1, :], x[..., -1:, :])
-    x = jnp.concatenate([top, x[..., 1:-1, :], bot], axis=-2)
-    left = jnp.where(tj == 0, x[..., :, 1:2], x[..., :, :1])
-    right = jnp.where(tj == ntx - 1, x[..., :, -2:-1], x[..., :, -1:])
-    return jnp.concatenate([left, x[..., :, 1:-1], right], axis=-1)
-
-
 # ---------------------------------------------------------------------------
-# Tiled red-black SOR, late-linearised flow pair (mirrors sor._flow_sor)
+# Tiled red-black SOR, late-linearised flow pair
 # ---------------------------------------------------------------------------
-
-
-def _tiled_flow_llin4_local(u, v, du, dv, m, cu, cv, duc, dvc,
-                            ww, wn, we, ws, iters: int, omega: float):
-    h, w = u.shape[-2:]
-    # border-solving convention (solvers/sor.py): all pixels relax, the
-    # out-facing weights vanish on GLOBAL image edges only
-    mask0, mask1 = _full_masks(h, w)
-    ww, wn, we, ws = _tile_edge_zeroed4(ww, wn, we, ws)
-    wsum = ww + wn + we + ws
-    cu_nan = jnp.isnan(cu)
-    cv_nan = jnp.isnan(cv)
-    m0 = jnp.nan_to_num(m)
-    cu0 = jnp.nan_to_num(cu)
-    cv0 = jnp.nan_to_num(cv)
-    inv_u = 1.0 / (wsum + jnp.where(jnp.isnan(duc), 0.0, jnp.nan_to_num(duc)))
-    inv_v = 1.0 / (wsum + jnp.where(jnp.isnan(dvc), 0.0, jnp.nan_to_num(dvc)))
-
-    def diff_term(df_plus_f, f):
-        dw, dn, de, ds = _halo_shifts(df_plus_f)
-        return (ww * dw + wn * dn + we * de + ws * ds) - f * wsum
-
-    def half(fu, fv, mask):
-        # v uses the refreshed u (GS coupling, cf. solvers/sor.py)
-        su = diff_term(fu + u, u)
-        sv = diff_term(fv + v, v)
-        num_u = jnp.where(cu_nan, su, su + cu0 - m0 * fv)
-        new_u = jnp.where(mask, (1.0 - omega) * fu + omega * num_u * inv_u, fu)
-        num_v = jnp.where(cv_nan, sv, sv + cv0 - m0 * new_u)
-        new_v = jnp.where(mask, (1.0 - omega) * fv + omega * num_v * inv_v, fv)
-        return new_u, new_v
-
-    def body(_, state):
-        fu, fv = state
-        fu, fv = half(fu, fv, mask0)
-        fu, fv = half(fu, fv, mask1)
-        return fu, fv
-
-    return lax.fori_loop(0, iters, body, (du, dv))
 
 
 def tiled_sor_flow_llin4(mesh: Mesh, u, v, du, dv, m, cu, cv, duc, dvc,
                          ww, wn, we, ws, iters: int, omega: float):
     """Tiled drop-in for ``sor_flow_llin4``: same update, (H, W) sharded
-    over mesh axes ("ty", "tx")."""
-    spec = P("ty", "tx")
-    fn = shard_map(
-        partial(_tiled_flow_llin4_local, iters=iters, omega=omega),
-        mesh=mesh,
-        in_specs=(spec,) * 13,
-        out_specs=(spec, spec),
-    )
-    return jax.jit(fn)(u, v, du, dv, m, cu, cv, duc, dvc, ww, wn, we, ws)
+    over mesh axes ("ty", "tx"). Runs through the temporally-blocked
+    generic engine (halo exchanged once per k sweeps)."""
+    from pde_tpu.kernels import sweeps
+
+    du2, dv2 = tiled_relax_sharded(
+        mesh, sweeps.flow_llin4_sweep,
+        (du, dv, u, v, m, cu, cv, duc, dvc, ww, wn, we, ws), 2, iters, omega)
+    return du2, dv2
 
 
 # ---------------------------------------------------------------------------
@@ -305,68 +207,113 @@ def tiled_pcg_flow_llin4(mesh: Mesh, u, v, du, dv, m, cu, cv, duc, dvc,
 
 # ---------------------------------------------------------------------------
 # Generic tiled red-black relaxation: any kernels/sweeps.py factory
+#
+# Temporal blocking (same trick as the single-chip stripe engine,
+# kernels/tiled.py): one red-black sweep has dependency radius 2, so
+# exchanging a 2k-px halo once buys k *exact* local sweeps before the
+# next exchange — collective count drops from 2 per sweep (every
+# half-sweep refreshed the 1-px ring) to 1 per k sweeps. Halo pixels
+# that lie inside the image are relaxed like real pixels and grow stale
+# from the outside in; the cropped tile interior is bitwise-identical
+# to the globally swept result while 2*sweeps <= halo.
 # ---------------------------------------------------------------------------
 
 
-def _tiled_shift(dr: int, dc: int):
-    """Neighbour-value shift with cross-tile halo exchange (the tiled
-    equivalent of core.grid.shift_*; global edges replicate)."""
-
-    def shift(x):
-        xp = halo_exchange(x, 1)
-        h, w = x.shape[-2:]
-        return xp[..., 1 + dr:1 + dr + h, 1 + dc:1 + dc + w]
-
-    return shift
+RB_RADIUS = 2  # dependency radius (px) of one full red-black sweep
 
 
-def _tiled_sweep_aux(h: int, w: int):
-    """SweepAux (kernels/sweeps.py contract) for a shard_map tile body."""
+def _ext_sweep_aux(h: int, w: int, halo: int):
+    """SweepAux for a halo-extended (h+2*halo, w+2*halo) local tile.
+
+    Masks/edges are in GLOBAL real coordinates (off-image extended rows
+    of mesh-edge tiles are excluded and stay frozen); shifts are plain
+    local edge-replicating shifts — out-facing weights are zeroed at the
+    global edges by each sweep's prepare_fn, so whatever a global-edge
+    pixel's shift reads outside the image is multiplied by zero."""
     from pde_tpu.kernels.tiled import SweepAux
 
-    mask0, mask1 = _global_masks(h, w)
-    maskf0, maskf1 = _full_masks(h, w)
-    left, top, right, bot = _global_edge_masks(h, w)
+    nty = _axis_or_one("ty")
+    ntx = _axis_or_one("tx")
+    ti = lax.axis_index("ty") if nty > 1 else 0
+    tj = lax.axis_index("tx") if ntx > 1 else 0
+    gi = ti * h + jnp.arange(-halo, h + halo)[:, None]
+    gj = tj * w + jnp.arange(-halo, w + halo)[None, :]
+    gh, gw = nty * h, ntx * w
+    hi, wi = h + 2 * halo, w + 2 * halo
+    in_img = (gi >= 0) & (gi < gh) & (gj >= 0) & (gj < gw)
+    inter = (gi >= 1) & (gi <= gh - 2) & (gj >= 1) & (gj <= gw - 2)
+    par = (gi + gj) % 2
+    top = jnp.broadcast_to((gi == 0) & in_img, (hi, wi))
+    bot = jnp.broadcast_to((gi == gh - 1) & in_img, (hi, wi))
+    left = jnp.broadcast_to((gj == 0) & in_img, (hi, wi))
+    right = jnp.broadcast_to((gj == gw - 1) & in_img, (hi, wi))
+
+    def border(x):
+        x = jnp.where(top, _shift_s_local(x), jnp.where(bot, _shift_n_local(x), x))
+        return jnp.where(left, _shift_e_local(x), jnp.where(right, _shift_w_local(x), x))
+
     return SweepAux(
-        mask0=mask0,
-        mask1=mask1,
-        border=_tiled_replicate_border,
-        maskf0=maskf0,
-        maskf1=maskf1,
-        edge_w=left,
-        edge_n=top,
-        edge_e=right,
-        edge_s=bot,
-        shift_w=_tiled_shift(0, -1),
-        shift_n=_tiled_shift(-1, 0),
-        shift_e=_tiled_shift(0, 1),
-        shift_s=_tiled_shift(1, 0),
+        mask0=inter & (par == 0), mask1=inter & (par == 1), border=border,
+        maskf0=in_img & (par == 0), maskf1=in_img & (par == 1),
+        edge_w=left, edge_n=top, edge_e=right, edge_s=bot,
     )
 
 
+def _shift_w_local(x):
+    return jnp.concatenate([x[..., :, :1], x[..., :, :-1]], axis=-1)
+
+
+def _shift_e_local(x):
+    return jnp.concatenate([x[..., :, 1:], x[..., :, -1:]], axis=-1)
+
+
+def _shift_n_local(x):
+    return jnp.concatenate([x[..., :1, :], x[..., :-1, :]], axis=-2)
+
+
+def _shift_s_local(x):
+    return jnp.concatenate([x[..., 1:, :], x[..., -1:, :]], axis=-2)
+
+
 def tiled_relax_sharded(mesh: Mesh, sweep_factory, fields, n_mut: int,
-                        iters: int, omega: float):
+                        iters: int, omega: float, k: int = 4):
     """Run ``iters`` global red-black sweeps of any ``kernels/sweeps.py``
     factory with (H, W) fields sharded over mesh axes ("ty", "tx").
 
-    Identical numerics to the single-chip solvers: each sweep's halo
-    exchange delivers refreshed opposite-color neighbours, and the global
-    1-px replicated border is re-filled on mesh-edge tiles
-    (opticalflowSolvers.c:156-179). Returns the n_mut relaxed fields."""
+    Identical numerics to the single-chip solvers; the global 1-px
+    replicated border is re-filled on mesh-edge tiles
+    (opticalflowSolvers.c:156-179). Halos are exchanged once per ``k``
+    sweeps (2k-px wide, see module note); pass k=1 for the classic
+    per-sweep exchange. Returns the n_mut relaxed fields."""
     prepare, sweep = sweep_factory(float(omega))
 
     def local(*fs):
         mut = list(fs[:n_mut])
         const = list(fs[n_mut:])
         h, w = mut[0].shape[-2:]
-        aux = _tiled_sweep_aux(h, w)
-        if prepare is not None:
-            const = prepare(const, aux)
+        # halo cannot exceed the tile (ppermute moves one step per call)
+        k_eff = max(1, min(k, iters, h // RB_RADIUS, w // RB_RADIUS))
 
-        def body(_, state):
-            return tuple(sweep(list(state), const, aux))
+        def chunk(mut, kc: int):
+            halo = RB_RADIUS * kc
+            aux = _ext_sweep_aux(h, w, halo)
+            ext = [halo_exchange(x, halo) for x in mut]
+            cst = [halo_exchange(x, halo) for x in const]
+            if prepare is not None:
+                cst = prepare(cst, aux)
 
-        return lax.fori_loop(0, iters, body, tuple(mut))
+            def body(_, state):
+                return tuple(sweep(list(state), cst, aux))
+
+            out = lax.fori_loop(0, kc, body, tuple(ext))
+            return [x[..., halo:halo + h, halo:halo + w] for x in out]
+
+        n_full, rem = divmod(iters, k_eff)
+        for _ in range(n_full):
+            mut = chunk(mut, k_eff)
+        if rem:
+            mut = chunk(mut, rem)
+        return tuple(mut)
 
     spec = P("ty", "tx")
     fn = shard_map(local, mesh=mesh, in_specs=(spec,) * len(fields),

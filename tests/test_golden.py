@@ -21,6 +21,7 @@ def _load(name):
     return np.load(path)
 
 
+@pytest.mark.slow
 def test_flow_nd_golden_epe():
     """Flagship warping flow vs the literal oracle on Yosemite (crop):
     AEE must be <= 2% of the mean golden flow magnitude."""
@@ -37,6 +38,7 @@ def test_flow_nd_golden_epe():
     assert rel < 0.02, f"AEE {epe.mean():.4f}px = {rel*100:.2f}% of mean |flow| {mag:.3f}"
 
 
+@pytest.mark.slow
 def test_flow_nd_golden_gt_accuracy():
     """Engine accuracy vs ground truth must match the oracle's (within
     5% relative) — parity in the metric users actually care about."""
@@ -101,6 +103,7 @@ def test_tv4_golden_parity():
     assert np.sqrt(np.mean((out - ref) ** 2)) < 0.02 * rng
 
 
+@pytest.mark.slow
 def test_disp_nd_golden_levels():
     """Disparity on Tsukuba (crop) vs the literal oracle, level by level:
     every pyramid level's U field must stay within 2% AEE of the oracle's
@@ -166,6 +169,7 @@ def test_flow_ad_golden_levels():
     assert epe < max(0.02 * scale, 0.08)
 
 
+@pytest.mark.slow
 def test_flow_fmg_golden_levels():
     """FAS full-multigrid flow on Yosemite (crop) vs the literal oracle,
     checked after every top-level FAS cycle (SURVEY 7.3 #1: the
@@ -192,6 +196,7 @@ def test_flow_fmg_golden_levels():
     assert epe / max(np.sqrt(g["u"]**2 + g["v"]**2).mean(), 0.25) < 0.02
 
 
+@pytest.mark.slow
 def test_disp_sym_golden_levels():
     """Symmetric disparity on Tsukuba (crop) vs the literal oracle, level
     by level (DispEminND_llin_sym_2D.m:110-266). Sign symmetry: U0 ~ -U1."""

@@ -210,3 +210,47 @@ def test_dispatch_sym_pair_matches_vmapped(rng):
                                atol=ATOL, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(got1), np.asarray(want[1]),
                                atol=ATOL, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Cyclic-reduction tridiagonal solve (solvers/tdma.thomas_solve_cr) — the
+# TPU dispatch target of thomas_solve; parity vs the lax.scan reference.
+# ---------------------------------------------------------------------------
+
+
+def _tridiag(rng, shape):
+    """Random diagonally-dominant system (well-conditioned)."""
+    a = jnp.asarray(rng.random(shape) * 0.4 - 0.5, jnp.float32)
+    c = jnp.asarray(rng.random(shape) * 0.4 - 0.5, jnp.float32)
+    b = jnp.abs(a) + jnp.abs(c) + jnp.asarray(rng.random(shape) + 0.5, jnp.float32)
+    d = jnp.asarray(rng.random(shape) * 2.0 - 1.0, jnp.float32)
+    return a, b, c, d
+
+
+@pytest.mark.parametrize("shape,axis", [
+    ((64, 80), -2), ((7, 130), -2), ((57, 257), -1), ((8, 128), -2),
+    ((1024, 16), -2), ((3, 33, 40), -2), ((3, 33, 40), -1), ((1, 5), -2),
+    ((2, 5), -2),
+])
+def test_thomas_cr_matches_scan(rng, shape, axis):
+    from pde_tpu.solvers.tdma import thomas_solve_scan, thomas_solve_cr
+
+    a, b, c, d = _tridiag(rng, shape)
+    got = thomas_solve_cr(a, b, c, d, axis=axis)
+    want = thomas_solve_scan(a, b, c, d, axis=axis)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_thomas_cr_ignores_junk_corner_coeffs(rng):
+    """a[0] / c[-1] may hold junk by contract (scan multiplies them by a
+    zero carry); CR must mask them identically."""
+    from pde_tpu.solvers.tdma import thomas_solve_scan, thomas_solve_cr
+
+    a, b, c, d = _tridiag(rng, (33, 130))
+    a_j = a.at[0].set(jnp.inf)
+    c_j = c.at[-1].set(jnp.nan)
+    got = thomas_solve_cr(a_j, b, c_j, d, axis=-2)
+    want = thomas_solve_scan(a, b, c, d, axis=-2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)

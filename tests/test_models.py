@@ -107,6 +107,7 @@ def test_flow_hs_matches_oracle_alr_converged(rng):
     assert np.abs(np.asarray(v) - vo).max() < 0.15
 
 
+@pytest.mark.slow
 def test_flow_nd_recovers_translation(rng):
     """It1 = It0 rolled right by 1 (It1(x) = It0(x-1)); the data term
     drives It1(x+U) = It0(x), so U = +1. Default loop counts; both the
@@ -121,6 +122,7 @@ def test_flow_nd_recovers_translation(rng):
         assert abs(np.median(v[inner])) < 0.25, f"solver {solver}"
 
 
+@pytest.mark.slow
 def test_disparity_recovers_shift(rng):
     il, ir = _shifted_pair(rng, 40, 48, dx=2.0)
     inner = np.s_[8:-8, 8:-8]
@@ -131,6 +133,7 @@ def test_disparity_recovers_shift(rng):
         assert abs(np.median(u[inner]) - 2.0) < 0.8, f"solver {solver}"
 
 
+@pytest.mark.slow
 def test_flow_ad_recovers_translation(rng):
     """8-neighbour anisotropic-tensor flow (FlowEminAD_llin_2D_v10.m)."""
     from pde_tpu.models.flow_ad import flow_ad
@@ -145,6 +148,7 @@ def test_flow_ad_recovers_translation(rng):
         assert abs(np.median(v[inner])) < 0.3, f"solver {solver}"
 
 
+@pytest.mark.slow
 def test_flow_fmg_recovers_translation(rng):
     """FAS full-multigrid early-lin flow (FlowEminNDFASFMG_elin_2D_v10.m).
     Multigrid accelerates the diffusion-dominated solve that plain HS needs
@@ -167,6 +171,7 @@ def test_flow_fmg_recovers_translation(rng):
     assert abs(np.median(v[inner])) < 0.3
 
 
+@pytest.mark.slow
 def test_disparity_sym_recovers_shift(rng):
     """Symmetric stereo pair: both fields should see ~the same |shift|
     with opposite signs (left->right vs right->left warping)."""

@@ -150,6 +150,7 @@ def test_sharded_nd_level_matches_single_chip(rng):
                                    atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_fmg_mesh_regather_matches_single_chip(rng):
     """flow_fmg with a device mesh (fine levels sharded, coarse levels
     regathered) must equal the single-chip result."""
@@ -165,3 +166,48 @@ def test_fmg_mesh_regather_matches_single_chip(rng):
                                atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_blocked_halo_multichunk_matches_single_chip(rng):
+    """iters > k forces multiple 2k-halo chunks; k=1 must equal k=4
+    (temporal blocking is exact, parallel/tiled.py module note)."""
+    from pde_tpu.kernels import sweeps
+    from pde_tpu.parallel.tiled import tiled_relax_sharded
+    from pde_tpu.solvers.sor import sor_flow_elin4
+
+    h, w = 24, 32
+    mesh = make_mesh(2, 4)
+    names = "m cu cv duc dvc ww wn we ws".split()
+    f = {}
+    for n in names:
+        base = rng.random((h, w)) + (1.0 if n in ("duc", "dvc") else 0.1)
+        f[n] = jnp.asarray(base, jnp.float32)
+    u = jnp.asarray(rng.random((h, w)) * 0.2, jnp.float32)
+    v = jnp.asarray(rng.random((h, w)) * 0.2, jnp.float32)
+    fields = (u, v) + tuple(f[n] for n in names)
+
+    want = sor_flow_elin4(u, v, *[f[n] for n in names], 9, 1.9)
+    for k in (1, 2, 4):
+        got = tiled_relax_sharded(mesh, sweeps.flow_elin4_sweep, fields,
+                                  2, 9, 1.9, k=k)
+        for g, wv in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(wv),
+                                       atol=2e-6, rtol=0)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from pde_tpu.utils.checkpoint import save_state, load_state
+
+    state = {
+        "u": jnp.arange(12.0).reshape(3, 4),
+        "levels": [jnp.ones((2, 2)), jnp.zeros((5,))],
+        "alive": np.array([True, False]),
+        "iter": 7,
+    }
+    p = str(tmp_path / "ck.npz")
+    save_state(p, state)
+    got = load_state(p, state)
+    assert int(got["iter"]) == 7
+    np.testing.assert_array_equal(got["alive"], state["alive"])
+    np.testing.assert_allclose(got["u"], np.asarray(state["u"]))
+    np.testing.assert_allclose(got["levels"][0], 1.0)

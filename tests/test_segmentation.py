@@ -2,6 +2,7 @@
 competition on synthetic piecewise-planar disparity maps."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -122,6 +123,7 @@ def _fixture():
     return np.load(path)
 
 
+@pytest.mark.slow
 def test_segmentation_dense_real_disparity():
     """Dense segmentation of the regenerated Tsukuba disparity map
     (runme.m:158 equivalent): must find several surfaces that cover most
@@ -141,6 +143,7 @@ def test_segmentation_dense_real_disparity():
     assert ((sp[:, 2] > dmin - 3.0) & (sp[:, 2] < dmax + 3.0)).any()
 
 
+@pytest.mark.slow
 def test_segmentation_sparse_real_disparity():
     """Sparse variant on the NaN-holed map (DispSegmentationSparse.m)."""
     maps = _fixture()
