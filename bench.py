@@ -60,13 +60,19 @@ def _hbm_gbps(device) -> float:
 
 def _oracle_e2e_seconds():
     """Single-core CPU baseline for flow_nd on Yosemite, measured once by
-    scripts/bench_oracle_e2e.py (vectorised-NumPy flavour: the optimistic
-    stand-in for the reference's C MEX single-core path)."""
+    scripts/bench_oracle_e2e.py. Two flavours are recorded (vectorised
+    NumPy red-black: 117.1 s; literal sequential-ALR port on LAPACK
+    solve_banded: 34.8 s); the FASTER one is the denominator — the
+    conservative stand-in for the reference's single-core C MEX path."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "tests", "golden", "oracle_e2e.json")
     try:
         with open(path) as f:
-            return float(json.load(f)["solver1_vectorised_numpy_s"])
+            d = json.load(f)
+        vals = [float(d[k]) for k in
+                ("solver1_vectorised_numpy_s", "solver2_literal_alr_s")
+                if k in d]
+        return min(vals) if vals else 0.0
     except Exception:
         return 0.0
 
@@ -230,7 +236,7 @@ def main():
         dt = chained_sweep_time(
             lambda a, b, it: alr_flow_llin4(u, v, a, b, m, cu, cv, duc, dvc,
                                             ww, wn, we, ws, it, 1.9),
-            i1=8, i2=64)
+            i1=16, i2=256)
         emit("llin4 flow zebra-ALR (batched TDMA, cyclic-reduction lines) sweep (1024x1024, sustained)",
              H * W / dt / 1e6, "Mpix-iters/s", (H * W / dt / 1e6) / base)
     except Exception as e:
@@ -241,7 +247,7 @@ def main():
         dt = chained_sweep_time(
             lambda a, b, it: pcg_flow_llin4(u, v, a, b, m, cu, cv, duc, dvc,
                                             ww, wn, we, ws, it, 1.9),
-            i1=8, i2=64)
+            i1=16, i2=128)
         emit("llin4 flow PCG (zebra-ADI preconditioned) iteration (1024x1024, sustained)",
              H * W / dt / 1e6, "Mpix-iters/s", (H * W / dt / 1e6) / base)
     except Exception as e:
@@ -263,7 +269,7 @@ def main():
             return jax.lax.fori_loop(0, iters, body, (p, q))
 
         dt = chained_sweep_time(
-            lambda a, b, it: aos(a, b, it), i1=8, i2=64)
+            lambda a, b, it: aos(a, b, it), i1=32, i2=512)
         emit("Chan-Vese AOS step (1024x1024, sustained)",
              H * W / dt / 1e6, "Mpix-steps/s", (H * W / dt / 1e6) / base)
     except Exception as e:

@@ -110,6 +110,15 @@ def _disp_level(u, i1t0, i1t1, i2t0, i2t1, us_ap, as_diff, p: "DisparityParams",
     return u
 
 
+@partial(jax.jit, static_argnames=("fst_term", "snd_term", "params"))
+def disparity_nd_fused(il, ir, fst_term: str = "grad", snd_term: str = "gradmag",
+                       params: DisparityParams | None = None):
+    """Whole-frame fused variant: the entire coarse-to-fine disparity
+    solve traces into ONE device program (cf. flow_nd_fused). Reuse one
+    (H, W) signature to reuse the compiled program."""
+    return disparity_nd(il, ir, fst_term, snd_term, params)
+
+
 def disparity_nd(il, ir, fst_term: str = "grad", snd_term: str = "gradmag",
                  params: DisparityParams | None = None, us=None,
                  collect: list | None = None, **overrides):

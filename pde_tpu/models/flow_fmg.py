@@ -208,6 +208,13 @@ def _fas_cycle(u, v, tensors, consts, cu, cv, lvl, n_levels, p: "FlowFMGParams",
     return u, v
 
 
+@partial(jax.jit, static_argnames=("params",))
+def flow_fmg_fused(it0, it1, params: FlowFMGParams | None = None):
+    """Whole-frame fused FAS-FMG: pyramid, tensors and every FAS cycle
+    trace into ONE device program (cf. flow_nd_fused)."""
+    return flow_fmg(it0, it1, params)
+
+
 def flow_fmg(it0, it1, params: FlowFMGParams | None = None,
              collect: list | None = None, mesh=None, shard_min: int = 64,
              **overrides):

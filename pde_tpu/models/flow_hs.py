@@ -48,7 +48,7 @@ class FlowHSParams:
     scales: int = 10**9
 
 
-@partial(jax.jit, static_argnames=("iters", "solver"))
+@partial(jax.jit, static_argnames=("omega", "iters", "solver"))
 def _hs_level(u, v, it0, it1, alpha_w, b1, b2, omega, iters, solver):
     ist = (it0 + it1) * 0.55
     idt = it0 - it1

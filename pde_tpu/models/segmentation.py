@@ -44,6 +44,7 @@ that behaviour (no removal) for parity.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import numpy as np
@@ -424,7 +425,7 @@ def _number_segments(phi_stack):
 
 
 def _disp_segmentation(din, sparse: bool, params=None, phi=None, aa=None,
-                       **overrides):
+                       checkpoint_path=None, **overrides):
     base = params or (sparse_defaults() if sparse else DispSegParams())
     p = with_overrides(base, **overrides)
     d_levels, d_fit, seed_pyr, comp_pyr = _build_pyramids(din, p, sparse)
@@ -454,17 +455,54 @@ def _disp_segmentation(din, sparse: bool, params=None, phi=None, aa=None,
             cset=p.ransac_max_cset,
         )
 
+    # phase-level checkpoint/resume for the long seeds+competition run
+    # (SURVEY.md section 5: the reference has none; its warm starts —
+    # param.PHI, RANSAC model_in — stay first-class here regardless)
+    ck_phase = -1
+    if checkpoint_path is not None and os.path.exists(checkpoint_path):
+        from pde_tpu.utils.checkpoint import load_state
+
+        like = {"phase": 0, "phi": np.zeros((1, h, w), np.float32),
+                "sparam": np.zeros((1, 3 if p.polyorder == 1 else 6),
+                                   np.float32),
+                "key": np.asarray(key)}
+        st = load_state(checkpoint_path, like)
+        ck_phase = int(st["phase"])
+        phi_list = [jnp.asarray(st["phi"][i]) for i in range(st["phi"].shape[0])]
+        sparam = jnp.asarray(st["sparam"])
+        key = jnp.asarray(st["key"])
+
+    def save_ck(phase, phi_list, sparam, key):
+        if checkpoint_path is None:
+            return
+        from pde_tpu.utils.checkpoint import save_state
+
+        save_state(checkpoint_path, {
+            "phase": phase,
+            "phi": np.stack([np.asarray(x) for x in phi_list])
+            if phi_list else np.zeros((0, h, w), np.float32),
+            "sparam": np.asarray(sparam),
+            "key": np.asarray(key)})
+
     if phi is None:
-        phi_list, sparam, key = gen(seed_pyr, 0.7, p.seeds, aa0, key)
+        if ck_phase < 0:
+            phi_list, sparam, key = gen(seed_pyr, 0.7, p.seeds, aa0, key)
+            save_ck(0, phi_list, sparam, key)
         if p.seeds != 1 and phi_list:
-            phi_list, sparam, key = compete(phi_list, 1.5, p.rc_iterations, key)
-            if phi_list:
-                covered = np.asarray(
-                    jnp.sum(jnp.stack(phi_list) > 0, axis=0) == 0, np.float32)
-            else:
-                covered = aa0
-            new_list, _, key = gen(comp_pyr, 1.2, p.seeds, covered, key)
-            phi_list = phi_list + new_list
+            if ck_phase < 1:
+                phi_list, sparam, key = compete(phi_list, 1.5,
+                                                p.rc_iterations, key)
+                save_ck(1, phi_list, sparam, key)
+            if ck_phase < 2:
+                if phi_list:
+                    covered = np.asarray(
+                        jnp.sum(jnp.stack(phi_list) > 0, axis=0) == 0,
+                        np.float32)
+                else:
+                    covered = aa0
+                new_list, _, key = gen(comp_pyr, 1.2, p.seeds, covered, key)
+                phi_list = phi_list + new_list
+                save_ck(2, phi_list, sparam, key)
             if phi_list:
                 phi_list, sparam, key = compete(phi_list, 1.5, p.rc_iterations2, key)
     else:
@@ -488,16 +526,19 @@ def _disp_segmentation(din, sparse: bool, params=None, phi=None, aa=None,
 
 
 def disp_segmentation(din, params: DispSegParams | None = None, phi=None,
-                      aa=None, **overrides):
+                      aa=None, checkpoint_path=None, **overrides):
     """Dense disparity-map segmentation (DispSegmentation.m).
 
     din: (H, W) disparity map. phi: optional (S, H, W) warm-start level
     sets (re-segmentation path, :147-180). aa: optional (H, W) allowed
     area. Returns (PHI (S, H, W), SEG (H, W) int32, SParam (S, k))."""
-    return _disp_segmentation(din, False, params, phi, aa, **overrides)
+    return _disp_segmentation(din, False, params, phi, aa,
+                               checkpoint_path, **overrides)
 
 
 def disp_segmentation_sparse(din, params: DispSegParams | None = None,
-                             phi=None, aa=None, **overrides):
+                             phi=None, aa=None, checkpoint_path=None,
+                             **overrides):
     """Sparse (NaN-holed) disparity segmentation (DispSegmentationSparse.m)."""
-    return _disp_segmentation(din, True, params, phi, aa, **overrides)
+    return _disp_segmentation(din, True, params, phi, aa,
+                              checkpoint_path, **overrides)

@@ -87,7 +87,7 @@ def _partial_pyramid(img, scl, scl_factor, gsize, gsigma, smooth_last=True):
     return out
 
 
-@partial(jax.jit, static_argnames=("outer_iter", "inner_iter", "solver"))
+@partial(jax.jit, static_argnames=("omega", "outer_iter", "inner_iter", "solver"))
 def _tv4_level(iout, f, alpha, omega, outer_iter, inner_iter, solver):
     def body(_, u):
         psi = 1.0 / jnp.sqrt((u - f) ** 2 + _EPS_D)
@@ -118,7 +118,7 @@ def tv_denoise4(img, params: TVDenoise4Params | None = None, **overrides):
     return iout[0] if squeeze else iout
 
 
-@partial(jax.jit, static_argnames=("outer_iter", "inner_iter", "solver", "operator"))
+@partial(jax.jit, static_argnames=("omega", "outer_iter", "inner_iter", "solver", "operator"))
 def _tv8_level(iout, f, alpha, omega, quantile, outer_iter, inner_iter, solver, operator):
     def body(_, u):
         w_, nw, n_, ne, e_, se, s_, sw = tensor_diffusion_weights_8(

@@ -29,6 +29,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from pde_tpu.core.conv import imfilter_replicate
@@ -113,6 +114,41 @@ SOBEL_DX = np.array(
 SOBEL_DY = SOBEL_DX.T
 
 
+def _quantile_nonzero(nrm, quantile: float):
+    """MATLAB-style adaptive lambda: the ``round(nnz*q)``-th smallest of
+    the NON-ZERO entries (FlowEminAD_llin_2D_v10.m:462-471) — an exact
+    order statistic, no interpolation.
+
+    On CPU this is the literal sort+index. On TPU a full-image sort per
+    outer iteration is the expensive way to get one order statistic, so
+    the k-th smallest is found by bitwise bisection over the float's
+    int32 bit pattern (monotone for non-negative floats): 31 masked
+    count-reductions, each a cheap fused pass — and the result is
+    bit-identical to the sorted one (it IS the k-th order statistic).
+    """
+    flat = nrm.ravel()
+    n = flat.shape[0]
+    nz = jnp.sum(flat > 0)
+    # 0-based rank among ALL entries (zeros occupy the first n-nz ranks)
+    k = (n - nz) + jnp.round(nz.astype(jnp.float32) * quantile).astype(jnp.int32) - 1
+    k = jnp.clip(k, 0, n - 1)
+    if jax.default_backend() in ("cpu",):
+        val = jnp.sort(flat)[k]
+    else:
+        xi = jax.lax.bitcast_convert_type(flat, jnp.int32)
+
+        def body(b, cand):
+            trial = cand | (jnp.int32(1) << b)
+            cnt = jnp.sum(xi < trial)
+            return jnp.where(cnt <= k, trial, cand)
+
+        # descending bit loop (fori_loop counts up; map i -> 30-i)
+        cand = jax.lax.fori_loop(
+            0, 31, lambda i, c: body(jnp.int32(30 - i), c), jnp.int32(0))
+        val = jax.lax.bitcast_convert_type(cand, jnp.float32)
+    return jnp.where(nz > 0, val, 1.0)
+
+
 def tensor_diffusion_weights_8(
     fields: jnp.ndarray,
     quantile: float = 0.9,
@@ -138,14 +174,7 @@ def tensor_diffusion_weights_8(
     max_dy = jnp.take_along_axis(dy, amax[None], axis=0)[0]
     nrm = max_dx * max_dx + max_dy * max_dy
 
-    # quantile over non-zero norms: zeros sort to the front; index past them.
-    flat = jnp.sort(nrm.ravel())
-    nz = jnp.sum(flat > 0)
-    n = flat.shape[0]
-    # MATLAB: sorted_nonzero(round(nnz*quantile)), 1-based -> 0-based index
-    idx = (n - nz) + jnp.round(nz.astype(jnp.float32) * quantile).astype(jnp.int32) - 1
-    idx = jnp.clip(idx, 0, n - 1)
-    lam = jnp.where(nz > 0, flat[idx], 1.0)
+    lam = _quantile_nonzero(nrm, quantile)
 
     multip = 1.0 / (nrm + 2.0 * lam)
     dyy = multip * (max_dy * max_dy + lam)

@@ -21,6 +21,9 @@ import os
 import sys
 import time
 
+# pure-CPU measurement; must not hold the (single-tenant) TPU tunnel open
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
@@ -36,26 +39,29 @@ def main():
     y1 = np.asarray(y1, np.float64)
     out = {"image": "yosemite", "shape": list(y0.shape)}
 
+    path = os.path.join(os.path.dirname(__file__), "..", "tests", "golden",
+                        "oracle_e2e.json")
+
+    def write():
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        print(json.dumps(out), flush=True)
+
     t0 = time.perf_counter()
     u1, v1 = oracle.flow_nd_oracle(y0, y1, "grad", "gradmag", solver=1)
     out["solver1_vectorised_numpy_s"] = round(time.perf_counter() - t0, 2)
+    assert np.isfinite(u1).all() and np.isfinite(v1).all()
+    assert 0.05 < np.median(np.abs(u1)) < 5.0
+    write()  # the vs_baseline denominator is safe even if solver=2 is cut
 
     t0 = time.perf_counter()
     u2, v2 = oracle.flow_nd_oracle(y0, y1, "grad", "gradmag", solver=2)
     out["solver2_literal_alr_s"] = round(time.perf_counter() - t0, 2)
-
-    # sanity: both produce finite flows of the expected scale
-    for u, v in ((u1, v1), (u2, v2)):
-        assert np.isfinite(u).all() and np.isfinite(v).all()
-        assert 0.05 < np.median(np.abs(u)) < 5.0
+    assert np.isfinite(u2).all() and np.isfinite(v2).all()
+    assert 0.05 < np.median(np.abs(u2)) < 5.0
     out["aee_between_solvers"] = round(float(np.mean(
         np.hypot(u1 - u2, v1 - v2))), 4)
-
-    path = os.path.join(os.path.dirname(__file__), "..", "tests", "golden",
-                        "oracle_e2e.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
-    print(json.dumps(out))
+    write()
 
 
 if __name__ == "__main__":

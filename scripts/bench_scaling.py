@@ -3,17 +3,25 @@
 The environment exposes ONE physical TPU chip, so multi-chip scaling is
 measured the only way available (SURVEY.md section 4): N virtual host
 devices (XLA_FLAGS=--xla_force_host_platform_device_count) running the
-REAL shard_map solvers with the REAL ppermute halo exchanges. Virtual
-devices share one CPU, so wall-clock does not improve with N — the
-meaningful number is the *halo overhead*: total work grows by the
-exchanged strips and the collective permutes, and that growth is what a
-real ICI-connected slice pays as communication.
+REAL shard_map solvers with the REAL ppermute halo exchanges.
+
+What the number means — and doesn't: N virtual devices time-slice this
+host's 2 CPU cores, so the reported ratio (tiled_time /
+single_device_time at identical total work) mixes three things:
+(1) genuine tiling overhead — the 2k-px halo strips recomputed per
+k-sweep chunk and the ppermute collectives (what a real ICI slice
+pays), (2) pure time-slicing serialisation of >2 programs on 2 cores
+(≥ N/2× by construction, absent on real chips), and (3) XLA:CPU's
+per-shard fixed costs. It is therefore a loose UPPER BOUND on real
+communication overhead, useful mainly as a round-over-round trend:
+temporal blocking (halo exchanged once per k sweeps instead of twice
+per sweep, parallel/tiled.py) cut it from 21-29x in round 3 to ~8-11x.
+Real scaling numbers require a real multi-chip slice.
 
 Prints one JSON line per mesh shape:
     {"metric": "tiled llin4 SOR halo overhead, <ty>x<tx> mesh", ...}
-with value = tiled_time / single_device_time on identical total work
-(1.0 = free tiling; the driver's BENCH parser keys on the LAST line of
-bench.py, which re-emits its headline after relaying these).
+(the driver's BENCH parser keys on the LAST line of bench.py, which
+re-emits its headline after relaying these).
 
 Run standalone:  python scripts/bench_scaling.py
 """

@@ -75,7 +75,11 @@ def main():
     # 0.023px between 200 and 600 iterations while PCG is converged at 200
     # (engine vs this 600-iter field: 0.0002px AEE).
     uh, vh = flow_hs_oracle(y0c, y1c, solver=2, iters=600)
-    np.savez(os.path.join(OUT, "flow_hs_yosemite.npz"), u=uh, v=vh)
+    # ...and at the reference DEFAULT count (FlowEminHS_elin_2D_v10.m:57
+    # iter=20): trajectory parity at the count users actually run
+    uh20, vh20 = flow_hs_oracle(y0c, y1c, solver=2, iters=20)
+    np.savez(os.path.join(OUT, "flow_hs_yosemite.npz"), u=uh, v=vh,
+             u20=uh20, v20=vh20)
     print(f"[{time.time()-t0:6.1f}s] flow_hs golden: |u| med {np.median(np.abs(uh)):.3f}")
 
     # FAS-FMG flow on Yosemite (runme.m:90 input), V-cycle defaults,

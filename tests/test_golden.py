@@ -92,6 +92,37 @@ def test_flow_hs_golden_epe():
     assert epe.mean() / scale < 0.02, epe.mean() / scale
 
 
+@pytest.mark.slow
+def test_flow_hs_reference_default_count():
+    """Parity at the reference DEFAULT iter=20 (FlowEminHS_elin_2D_v10.m:57).
+
+    At 20 sweeps the ALR field is far from converged, and a different
+    inner solver family cannot track a partially-converged foreign
+    trajectory pointwise (measured best: 5.6% AEE at solver=1 iter=70;
+    the PCG default is 86% off pointwise while being MORE converged).
+    The contract that holds — and the one users experience — is quality:
+    the engine default's ground-truth accuracy must match the oracle at
+    its default count (measured 1.221 vs 1.194 px on the crop, and both
+    converge to AEE_gt 1.289)."""
+    from pde_tpu.utils.io import load_yosemite
+    from pde_tpu.models.flow_hs import flow_hs
+
+    g = _load("flow_hs_yosemite.npz")
+    if "u20" not in g:
+        pytest.skip("iter-20 golden missing — rerun scripts/make_goldens.py")
+    y0, y1, gtu, gtv = load_yosemite()
+    gu, gv = np.asarray(gtu)[:128, :160], np.asarray(gtv)[:128, :160]
+    valid = np.isfinite(gu) & (np.abs(gu) < 1e3)
+
+    def aee_gt(u, v):
+        return np.mean(np.sqrt((u - gu)[valid] ** 2 + (v - gv)[valid] ** 2))
+
+    oracle20 = aee_gt(g["u20"], g["v20"])
+    u, v = flow_hs(y0[:128, :160], y1[:128, :160])  # engine defaults
+    engine = aee_gt(np.asarray(u), np.asarray(v))
+    assert engine < oracle20 * 1.05, (engine, oracle20)
+
+
 def test_tv4_golden_parity():
     from pde_tpu.models.tv_denoise import tv_denoise4
 

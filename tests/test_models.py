@@ -212,3 +212,29 @@ def test_gac_shrinks_to_object(rng):
         # with a smaller positive region that still contains the disc center
         assert 0 < area < area0, (area, area0)
         assert out[24, 24] > 0
+
+
+def test_fused_wrappers_match_per_level(rng):
+    """flow_nd_fused / disparity_nd_fused / flow_fmg_fused trace the same
+    computation as the per-level drivers — outputs must agree exactly."""
+    from pde_tpu.models.flow_nd import flow_nd, flow_nd_fused
+    from pde_tpu.models.disparity import disparity_nd, disparity_nd_fused
+    from pde_tpu.models.flow_fmg import flow_fmg, flow_fmg_fused
+    import jax.numpy as jnp
+
+    img = (rng.random((40, 48)) * 255).astype(np.float32)
+    shifted = np.roll(img, 1, axis=1)
+
+    u1, v1 = flow_nd(img, shifted, "grad", "none")
+    u2, v2 = flow_nd_fused(jnp.asarray(img), jnp.asarray(shifted), "grad", "none")
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-3)
+
+    d1 = disparity_nd(img, shifted, "grad", "none")
+    d2 = disparity_nd_fused(jnp.asarray(img), jnp.asarray(shifted), "grad", "none")
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-3)
+
+    f1u, f1v = flow_fmg(img, shifted)
+    f2u, f2v = flow_fmg_fused(jnp.asarray(img), jnp.asarray(shifted))
+    np.testing.assert_allclose(np.asarray(f1u), np.asarray(f2u), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(f1v), np.asarray(f2v), atol=1e-3)

@@ -124,3 +124,36 @@ def test_tensor_weights_shapes_and_symmetry(rng):
     flat = tensor_diffusion_weights_8(jnp.zeros((8, 8)), quantile=0.9)
     np.testing.assert_allclose(np.asarray(flat[0]), np.asarray(flat[2]), atol=1e-6)
     np.testing.assert_allclose(np.asarray(flat[1]), 0.0, atol=1e-7)
+
+
+def test_quantile_nonzero_matches_sort(rng):
+    """The bitwise-bisection order statistic (TPU path of the adaptive
+    lambda) must equal the literal sort+index exactly."""
+    import jax.numpy as jnp
+    from pde_tpu.ops.weights import _quantile_nonzero
+
+    for q in (0.5, 0.9):
+        for frac_zero in (0.0, 0.3):
+            x = rng.random((37, 53)).astype(np.float32)
+            x[rng.random(x.shape) < frac_zero] = 0.0
+            x = jnp.asarray(x * x)
+            got = float(_quantile_nonzero(x, q))
+            flat = np.sort(np.asarray(x).ravel())
+            nz = int((flat > 0).sum())
+            k = (flat.size - nz) + int(np.round(nz * q)) - 1
+            assert got == flat[np.clip(k, 0, flat.size - 1)]
+
+
+def test_quantile_nonzero_bitselect_path(rng):
+    """Force the bit-bisection branch (normally TPU-only) and check it
+    against the sort on the same data."""
+    from unittest import mock
+    import jax
+    import jax.numpy as jnp
+    from pde_tpu.ops import weights
+
+    x = jnp.asarray((rng.random((40, 40)) ** 2).astype(np.float32))
+    want = float(weights._quantile_nonzero(x, 0.9))
+    with mock.patch.object(jax, "default_backend", return_value="tpu"):
+        got = float(weights._quantile_nonzero(x, 0.9))
+    assert got == want

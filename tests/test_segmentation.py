@@ -1,6 +1,7 @@
 """Segmentation pipeline: RANSAC surfaces, components, end-to-end seeds +
 competition on synthetic piecewise-planar disparity maps."""
 
+import os
 import numpy as np
 import pytest
 import jax
@@ -151,3 +152,23 @@ def test_segmentation_sparse_real_disparity():
     phi, seg, sparam = disp_segmentation_sparse(ds, seeds=4)
     assert np.asarray(phi).shape[0] >= 1
     assert np.isfinite(np.asarray(sparam)).all()
+
+
+def test_disp_segmentation_checkpoint_resume(rng, tmp_path):
+    """A run resumed from a phase checkpoint must reproduce the
+    uninterrupted run exactly (same key/state at each phase)."""
+    d = _two_planes(rng=rng)
+    kw = dict(seeds=2, seed_iterations=4, rc_iterations=3, rc_iterations2=2,
+              ransac_first=50, ransac_rest=20)
+    phi_a, seg_a, par_a = disp_segmentation(d, **kw)
+
+    ck = str(tmp_path / "seg.npz")
+    phi_b, seg_b, par_b = disp_segmentation(d, checkpoint_path=ck, **kw)
+    assert os.path.exists(ck)
+    np.testing.assert_array_equal(np.asarray(seg_a), np.asarray(seg_b))
+
+    # resume from the saved phase: must agree with the full run
+    phi_c, seg_c, par_c = disp_segmentation(d, checkpoint_path=ck, **kw)
+    np.testing.assert_array_equal(np.asarray(seg_b), np.asarray(seg_c))
+    np.testing.assert_allclose(np.asarray(phi_b), np.asarray(phi_c),
+                               atol=1e-6)
