@@ -309,6 +309,28 @@ def main():
         vsb = (base_e2e / best) if base_e2e > 0 else 0.0
         emit(f"flow_nd end-to-end, Yosemite {tuple(y0.shape)} (fused single-dispatch, incl. tunnel overhead)",
              1.0 / best, "frames/s", vsb)
+
+        # tunnel-free marginal rate: a video clip is ONE dispatch
+        # (lax.scan over consecutive pairs); difference T=5 vs T=2
+        # isolates the pure on-device per-frame cost
+        from pde_tpu.models.flow_nd import flow_nd_sequence
+
+        def clip(t):
+            frames = jnp.stack([y0 if i % 2 == 0 else y1 for i in range(t)])
+            def run():
+                us, vs = flow_nd_sequence(frames, "grad", "gradmag")
+                _sync(us)
+            run()  # compile
+            bb = float("inf")
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                run()
+                bb = min(bb, time.perf_counter() - t0)
+            return bb
+
+        marg = (clip(5) - clip(2)) / 3.0
+        emit(f"flow_nd end-to-end, Yosemite {tuple(y0.shape)} (on-device marginal, video-clip scan)",
+             1.0 / marg, "frames/s", (base_e2e / marg) if base_e2e > 0 else 0.0)
     except Exception as e:
         print(f"# e2e failed: {e!r}", flush=True)
 

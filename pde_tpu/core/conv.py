@@ -29,7 +29,39 @@ def imfilter_replicate(x: jnp.ndarray, kernel) -> jnp.ndarray:
 
     Equivalent to MATLAB ``imfilter(x, kernel, 'replicate')`` for odd-sized
     kernels (the only kind the reference uses).
+
+    The filters here are tiny (3- and 5-tap) and the images effectively
+    single-channel, a shape where XLA:TPU's convolution emitter puts the
+    batch of 1-2 frames in the 128 vector lanes (~1% utilisation, ~3 ms
+    per call — profiled as HALF the fused flow_nd frame time). Static
+    kernels are therefore unrolled into shift-and-add elementwise taps,
+    which the VPU runs at full width and XLA fuses into the surrounding
+    arithmetic; a (rare) traced kernel falls back to the general conv.
     """
+    try:
+        # concrete (host) kernel values; raises for traced kernels —
+        # including np constants converted to jnp INSIDE a trace, which
+        # become constant tracers
+        kval = np.asarray(kernel, dtype=np.float32)
+        if kval.ndim == 1:
+            kval = kval[None, :]
+    except Exception:
+        kval = None
+    if kval is not None:
+        kh, kw = kval.shape
+        assert kh % 2 == 1 and kw % 2 == 1, "only odd kernels supported"
+        *lead, h, w = x.shape
+        xp = _pad_edge(x, kh // 2, kw // 2)
+        out = None
+        for i in range(kh):
+            for j in range(kw):
+                kv = float(kval[i, j])
+                if kv == 0.0:
+                    continue
+                term = xp[..., i:i + h, j:j + w] * kv
+                out = term if out is None else out + term
+        return jnp.zeros_like(x) if out is None else out
+
     kernel = jnp.asarray(kernel, dtype=x.dtype)
     if kernel.ndim == 1:
         kernel = kernel[None, :]
@@ -52,13 +84,13 @@ def separable_filter(x: jnp.ndarray, kv, kh) -> jnp.ndarray:
     """Vertical then horizontal 1-D correlation, replicate borders.
 
     ``kv`` acts along H (rows), ``kh`` along W (cols). Either may be None.
+    Kernels stay host-side (NumPy) so imfilter_replicate can unroll them
+    into fused shift-and-add taps (see its docstring).
     """
     if kv is not None:
-        kv = jnp.asarray(kv, dtype=x.dtype)
-        x = imfilter_replicate(x, kv[:, None])
+        x = imfilter_replicate(x, np.asarray(kv, dtype=np.float32)[:, None])
     if kh is not None:
-        kh = jnp.asarray(kh, dtype=x.dtype)
-        x = imfilter_replicate(x, kh[None, :])
+        x = imfilter_replicate(x, np.asarray(kh, dtype=np.float32)[None, :])
     return x
 
 

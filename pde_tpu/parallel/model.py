@@ -51,6 +51,20 @@ def constrain_level(x, mesh: Mesh | None, shard_min: int = 64):
         x, NamedSharding(mesh, P(*([None] * x.ndim))))
 
 
+def place_level(x, mesh: Mesh | None, shard_min: int = 64):
+    """Host-side counterpart of :func:`constrain_level`: ``device_put``
+    with the ("ty", "tx") spatial sharding while the grid is large,
+    fully replicated below ``shard_min`` (coarse pyramid levels) or when
+    a dimension does not divide the mesh (device_put cannot pad)."""
+    if mesh is None or x is None:
+        return x
+    h, w = x.shape[-2:]
+    nty, ntx = mesh.shape["ty"], mesh.shape["tx"]
+    if min(h, w) >= shard_min and h % nty == 0 and w % ntx == 0:
+        return jax.device_put(x, shard_spec_for(mesh, x.ndim))
+    return jax.device_put(x, NamedSharding(mesh, P(*([None] * x.ndim))))
+
+
 def sharded_nd_level(mesh: Mesh, u, v, i1t0, i1t1, i2t0, i2t1,
                      us_ap, vs_ap, as_diff, p, snd_is_gradmag: bool):
     """One full flow_nd pyramid level under GSPMD spatial sharding.

@@ -238,3 +238,19 @@ def test_fused_wrappers_match_per_level(rng):
     f2u, f2v = flow_fmg_fused(jnp.asarray(img), jnp.asarray(shifted))
     np.testing.assert_allclose(np.asarray(f1u), np.asarray(f2u), atol=1e-3)
     np.testing.assert_allclose(np.asarray(f1v), np.asarray(f2v), atol=1e-3)
+
+
+def test_flow_nd_sequence_matches_pairs(rng):
+    """The one-dispatch video-clip path (lax.scan over pairs) must equal
+    per-pair flow_nd on every consecutive pair."""
+    from pde_tpu.models.flow_nd import flow_nd, flow_nd_sequence
+    import jax.numpy as jnp
+
+    f0 = (rng.random((36, 44)) * 255).astype(np.float32)
+    frames = np.stack([f0, np.roll(f0, 1, axis=1), np.roll(f0, 2, axis=1)])
+    us, vs = flow_nd_sequence(jnp.asarray(frames), "grad", "none")
+    assert us.shape == (2, 36, 44)
+    for t in range(2):
+        u, v = flow_nd(frames[t], frames[t + 1], "grad", "none")
+        np.testing.assert_allclose(np.asarray(us[t]), np.asarray(u), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(vs[t]), np.asarray(v), atol=1e-3)

@@ -211,3 +211,19 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(got["alive"], state["alive"])
     np.testing.assert_allclose(got["u"], np.asarray(state["u"]))
     np.testing.assert_allclose(got["levels"][0], 1.0)
+
+
+def test_flow_nd_mesh_matches_single_chip(rng):
+    """Full coarse-to-fine flow_nd under GSPMD spatial sharding (with
+    coarse-level replication) must match the unsharded run."""
+    from pde_tpu.models.flow_nd import flow_nd
+
+    img = (rng.random((32, 48)) * 255).astype(np.float32)
+    shifted = np.roll(img, 1, axis=1)
+    u0, v0 = flow_nd(img, shifted, "grad", "none",
+                     firstLoop=2, secondLoop=2, iter=2)
+    mesh = make_mesh(2, 4)
+    u1, v1 = flow_nd(img, shifted, "grad", "none", mesh=mesh, shard_min=16,
+                     firstLoop=2, secondLoop=2, iter=2)
+    np.testing.assert_allclose(np.asarray(u0), np.asarray(u1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=1e-5)
