@@ -278,10 +278,15 @@ def main():
     try:
         from pde_tpu.solvers.reinit import reinit
         phi = field(2.0) - 1.0
-        it = 40
-        dt = call_inclusive(lambda: reinit(phi, steps=it))
-        emit("signed-distance reinit Euler step (1024x1024, whole-call)",
-             H * W * it / dt / 1e6, "Mpix-steps/s", (H * W * it / dt / 1e6) / base)
+
+        def chain_reinit(a, b, it):
+            return reinit(a, steps=it), a
+
+        # a reinit step is ONE fused elementwise pass (~10 us at 1024^2):
+        # spans must reach hundreds of ms to beat tunnel jitter
+        dt = chained_sweep_time(chain_reinit, i1=2000, i2=20000)
+        emit("signed-distance reinit Euler step (1024x1024, sustained)",
+             H * W / dt / 1e6, "Mpix-steps/s", (H * W / dt / 1e6) / base)
     except Exception as e:
         print(f"# reinit failed: {e!r}", flush=True)
 

@@ -115,7 +115,13 @@ def disparity_nd_fused(il, ir, fst_term: str = "grad", snd_term: str = "gradmag"
                        params: DisparityParams | None = None):
     """Whole-frame fused variant: the entire coarse-to-fine disparity
     solve traces into ONE device program (cf. flow_nd_fused). Reuse one
-    (H, W) signature to reuse the compiled program."""
+    (H, W) signature to reuse the compiled program.
+
+    Known issue: at full Tsukuba size (4ch, 356x451) the one-program
+    compile currently trips a Mosaic kernel fault on TPU v5e (the same
+    levels run fine dispatched per level, and fused runs fine at smaller
+    sizes) — prefer :func:`disparity_nd` for large multi-channel pairs
+    until resolved."""
     return disparity_nd(il, ir, fst_term, snd_term, params)
 
 
