@@ -15,6 +15,9 @@ Drop-in replacements for the global XLA solvers in ``solvers/sor.py``:
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+
 import jax
 
 from pde_tpu.kernels import sweeps
@@ -22,9 +25,25 @@ from pde_tpu.kernels.tiled import tiled_relax
 from pde_tpu.kernels.sor_pallas import fits_vmem, pallas_sor_flow_llin4
 from pde_tpu.solvers import sor as _sor
 
+# trace-time opt-out of the Pallas kernels (used by models whose fused
+# whole-frame programs currently trip a Mosaic fault — see
+# models/disparity.disparity_nd_fused)
+_FORCE_XLA = contextvars.ContextVar("pde_tpu_force_xla", default=False)
+
+
+@contextlib.contextmanager
+def xla_solvers():
+    """Within this context (at trace time), dispatch the global XLA
+    solvers instead of the Pallas kernels."""
+    tok = _FORCE_XLA.set(True)
+    try:
+        yield
+    finally:
+        _FORCE_XLA.reset(tok)
+
 
 def _use_pallas() -> bool:
-    return jax.default_backend() not in ("cpu",)
+    return (not _FORCE_XLA.get()) and jax.default_backend() not in ("cpu",)
 
 
 def _run_tiled(fields, sweep_factory, n_mut, iters, omega, small):

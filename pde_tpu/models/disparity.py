@@ -117,12 +117,23 @@ def disparity_nd_fused(il, ir, fst_term: str = "grad", snd_term: str = "gradmag"
     solve traces into ONE device program (cf. flow_nd_fused). Reuse one
     (H, W) signature to reuse the compiled program.
 
-    Known issue: at full Tsukuba size (4ch, 356x451) the one-program
-    compile currently trips a Mosaic kernel fault on TPU v5e (the same
-    levels run fine dispatched per level, and fused runs fine at smaller
-    sizes) — prefer :func:`disparity_nd` for large multi-channel pairs
-    until resolved."""
-    return disparity_nd(il, ir, fst_term, snd_term, params)
+    Known issue (TPU v5e): certain whole-frame compositions of this
+    4-channel gradmag pipeline crash the TPU runtime ("worker crashed /
+    kernel fault"). Extensive bisection shows it is NOT our kernels:
+    with the Pallas stripe solver it strikes from tiny configs
+    (scales=2, firstLoop=2, secondLoop=2); dispatched to the pure-XLA
+    solvers (the ``xla_solvers`` override below, kept because it is
+    strictly more robust) it strikes only at some larger loop-count
+    combinations — full-depth fl=4/sl=4 and fl=2/sl=5 and fl=1/sl=6
+    run fine, while fl=2/sl=6 and the reference default fl=4/sl=6
+    crash (non-monotone in program size: a compiler/runtime defect).
+    Every affected configuration runs correctly per level
+    (:func:`disparity_nd`) and fused at smaller image sizes; the fused
+    flow programs (flow_nd_fused, incl. 3ch 480x640) are unaffected."""
+    from pde_tpu.kernels.dispatch import xla_solvers
+
+    with xla_solvers():
+        return disparity_nd(il, ir, fst_term, snd_term, params)
 
 
 def disparity_nd(il, ir, fst_term: str = "grad", snd_term: str = "gradmag",
