@@ -191,21 +191,30 @@ def main():
         trace_dir = "/tmp/pde_tpu_trace"
         jax.profiler.start_trace(trace_dir)
 
-    dt = chained_sweep_time(
+    dt_db = chained_sweep_time(
+        lambda a, b, it: tiled_relax((a, b) + consts, sw, 2, it,
+                                     k_max=4, prepare_fn=prep,
+                                     double_buffer=True))
+    dt_ser = chained_sweep_time(
         lambda a, b, it: tiled_relax((a, b) + consts, sw, 2, it,
                                      k_max=4, prepare_fn=prep))
+    emit("llin4 flow SOR sweep, Pallas serial stripe kernel (1024x1024, "
+         "sustained; k=4)", H * W / dt_ser / 1e6, "Mpix-iters/s",
+         (H * W / dt_ser / 1e6) / base)
+    dt = min(dt_db, dt_ser)
     if trace_dir is not None:
         jax.profiler.stop_trace()
         print(f"# profiler trace written to {trace_dir}", flush=True)
     tiled_rate = H * W / dt / 1e6
     headline = ("llin4 flow SOR sweep, Pallas tiled kernel (1024x1024, "
-                "sustained; temporal blocking k=4)")
+                "sustained; temporal blocking k=4, double-buffered DMA)")
     emit(headline, tiled_rate, "Mpix-iters/s", tiled_rate / base)
 
     # bandwidth accounting: the stripe engine moves (13 reads + 2 writes)
     # fields once per k-sweep chunk, plus the 2*halo overlap rows
     try:
-        k, stripe, _ = plan_stripes(H, W, 13, 4096, 4)
+        k, stripe, _ = plan_stripes(H, W, 13, 4096, 4,
+                                    double_buffer=(dt_db <= dt_ser))
         halo = _halo_for(k)
         bytes_per_pix_iter = 15 * 4 / k * (1 + 2 * halo / stripe)
         gbps = tiled_rate * 1e6 * bytes_per_pix_iter / 1e9

@@ -169,9 +169,104 @@ def _stripe_kernel(*refs, sweep_fn, prepare_fn, n_mut: int, n_fields: int,
         c.wait()
 
 
+def _stripe_kernel_db(*refs, sweep_fn, prepare_fn, n_mut: int, n_fields: int,
+                      k: int, halo: int, stripe: int, bs: int, wp: int,
+                      h: int, w: int, n_stripes: int):
+    """Double-buffered stripe step: while stripe i's sweeps run on slot
+    i%2, stripe i+1's input DMA fills slot (i+1)%2 — the classic
+    two-slot software pipeline (overlaps the HBM streams with compute;
+    the serial kernel above pays t_dma + t_compute per stripe, this one
+    max(t_dma, t_compute) + drain)."""
+    in_refs = refs[:n_fields]
+    out_refs = refs[n_fields:n_fields + n_mut]
+    buf = refs[n_fields + n_mut]          # VMEM (2, n_fields, bs, wp)
+    in_sems = refs[n_fields + n_mut + 1]  # DMA sems (2, n_fields)
+    out_sems = refs[n_fields + n_mut + 2]  # DMA sems (2, n_mut)
+
+    i = pl.program_id(0)
+    slot = lax.rem(i, 2)
+    nxt = lax.rem(i + 1, 2)
+
+    def in_copies(step, s):
+        row0 = step * stripe
+        return [
+            pltpu.make_async_copy(
+                in_refs[f].at[pl.ds(row0, bs), :], buf.at[s, f],
+                in_sems.at[s, f],
+            )
+            for f in range(n_fields)
+        ]
+
+    def out_copies(step, s):
+        row0 = step * stripe
+        return [
+            pltpu.make_async_copy(
+                buf.at[s, f, pl.ds(halo, stripe), :],
+                out_refs[f].at[pl.ds(row0, stripe), :],
+                out_sems.at[s, f],
+            )
+            for f in range(n_mut)
+        ]
+
+    @pl.when(i == 0)
+    def _():
+        for c in in_copies(0, slot):
+            c.start()
+
+    # prefetch stripe i+1 into the other slot; first drain the out-DMA
+    # issued from that slot at step i-1 (it reads rows we are about to
+    # overwrite)
+    @pl.when(i + 1 < n_stripes)
+    def _():
+        @pl.when(i >= 1)
+        def _():
+            for c in out_copies(i - 1, nxt):
+                c.wait()
+        for c in in_copies(i + 1, nxt):
+            c.start()
+
+    for c in in_copies(i, slot):
+        c.wait()
+
+    ii_real = (
+        lax.broadcasted_iota(jnp.int32, (bs, wp), 0) + i * stripe - halo
+    )
+    jj = lax.broadcasted_iota(jnp.int32, (bs, wp), 1)
+    aux = _make_aux(ii_real, jj, h, w)
+
+    mut = [buf[slot, f] for f in range(n_mut)]
+    const = [buf[slot, f] for f in range(n_mut, n_fields)]
+    if prepare_fn is not None:
+        const = prepare_fn(const, aux)
+
+    def body(_, mut_state):
+        return tuple(sweep_fn(list(mut_state), const, aux))
+
+    mut = lax.fori_loop(0, k, body, tuple(mut), unroll=(k <= 8))
+
+    for f in range(n_mut):
+        buf[slot, f] = mut[f]
+
+    for c in out_copies(i, slot):
+        c.start()
+
+    # final step: drain every outstanding out-DMA before the kernel ends
+    @pl.when(i == n_stripes - 1)
+    def _():
+        for c in out_copies(i, slot):
+            c.wait()
+
+        @pl.when(i >= 1)
+        def _():
+            for c in out_copies(i - 1, nxt):
+                c.wait()
+
+
 # target bytes for the stripe working set (fields only; live temporaries
 # of the sweep body roughly double it — keep well under 16 MiB VMEM)
 _STRIPE_BUDGET_BYTES = 6 * 1024 * 1024
+# per-slot budget for the double-buffered engine (two slots resident)
+_STRIPE_BUDGET_BYTES_DB = 5 * 1024 * 1024
 _MIN_STRIPE = 8
 
 
@@ -182,18 +277,22 @@ def _halo_for(k: int) -> int:
     return _round_up(RB_RADIUS * k, 8)
 
 
-def plan_stripes(h: int, w: int, n_fields: int, sweeps: int, k_max: int = 4):
+def plan_stripes(h: int, w: int, n_fields: int, sweeps: int, k_max: int = 4,
+                 double_buffer: bool = False):
     """Choose (k, stripe, n_stripes) for an (h, w) problem.
 
     stripe is a multiple of 8 (HBM DMA row offsets must be sublane-
     aligned). Returns None when no plan fits the VMEM stripe budget.
+    double_buffer=True plans for two resident buffer slots (smaller
+    per-slot budget).
     """
+    budget = _STRIPE_BUDGET_BYTES_DB if double_buffer else _STRIPE_BUDGET_BYTES
     wp = _round_up(max(w, 128), 128)
     k = max(1, min(k_max, sweeps))
     while k >= 1:
         halo = _halo_for(k)
         # bs = stripe + 2*halo rows; fields bytes = n_fields * bs * wp * 4
-        max_bs = _STRIPE_BUDGET_BYTES // (n_fields * wp * 4)
+        max_bs = budget // (n_fields * wp * 4)
         stripe = (max_bs - 2 * halo) // 8 * 8
         if stripe >= max(_MIN_STRIPE, 2 * halo):
             stripe = min(stripe, _round_up(h, 8))
@@ -205,10 +304,11 @@ def plan_stripes(h: int, w: int, n_fields: int, sweeps: int, k_max: int = 4):
 @partial(
     jax.jit,
     static_argnames=("sweep_fn", "prepare_fn", "n_mut", "iters", "k",
-                     "stripe", "interpret"),
+                     "stripe", "interpret", "double_buffer"),
 )
 def _tiled_chunks(fields, sweep_fn, prepare_fn, n_mut: int, iters: int,
-                  k: int, stripe: int, interpret: bool = False):
+                  k: int, stripe: int, interpret: bool = False,
+                  double_buffer: bool = False):
     h, w = fields[0].shape
     n_fields = len(fields)
     wp = _round_up(max(w, 128), 128)
@@ -225,21 +325,27 @@ def _tiled_chunks(fields, sweep_fn, prepare_fn, n_mut: int, iters: int,
     def run_chunk(mut, kc: int, const_padded, halo: int):
         bs = stripe + 2 * halo
         padded = [pad_hw(f, halo) for f in mut] + const_padded
+        common = dict(
+            sweep_fn=sweep_fn, prepare_fn=prepare_fn, n_mut=n_mut,
+            n_fields=n_fields, k=kc, halo=halo, stripe=stripe, bs=bs,
+            wp=wp, h=h, w=w,
+        )
+        if double_buffer:
+            kern = partial(_stripe_kernel_db, n_stripes=n_stripes, **common)
+            scratch = [
+                pltpu.VMEM((2, n_fields, bs, wp), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, n_fields)),
+                pltpu.SemaphoreType.DMA((2, n_mut)),
+            ]
+        else:
+            kern = partial(_stripe_kernel, **common)
+            scratch = [
+                pltpu.VMEM((n_fields, bs, wp), jnp.float32),
+                pltpu.SemaphoreType.DMA((n_fields,)),
+                pltpu.SemaphoreType.DMA((n_mut,)),
+            ]
         out = pl.pallas_call(
-            partial(
-                _stripe_kernel,
-                sweep_fn=sweep_fn,
-                prepare_fn=prepare_fn,
-                n_mut=n_mut,
-                n_fields=n_fields,
-                k=kc,
-                halo=halo,
-                stripe=stripe,
-                bs=bs,
-                wp=wp,
-                h=h,
-                w=w,
-            ),
+            kern,
             grid=(n_stripes,),
             out_shape=tuple(
                 jax.ShapeDtypeStruct((hs, wp), jnp.float32)
@@ -249,11 +355,7 @@ def _tiled_chunks(fields, sweep_fn, prepare_fn, n_mut: int, iters: int,
             out_specs=tuple(
                 pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_mut)
             ),
-            scratch_shapes=[
-                pltpu.VMEM((n_fields, bs, wp), jnp.float32),
-                pltpu.SemaphoreType.DMA((n_fields,)),
-                pltpu.SemaphoreType.DMA((n_mut,)),
-            ],
+            scratch_shapes=scratch,
             interpret=interpret,
         )(*padded)
         return [o[:h, :w] for o in out]
@@ -281,7 +383,8 @@ def _tiled_chunks(fields, sweep_fn, prepare_fn, n_mut: int, iters: int,
 
 def tiled_relax(fields: Sequence[jnp.ndarray], sweep_fn, n_mut: int,
                 iters: int, k_max: int = 4, prepare_fn=None,
-                interpret: bool = False, plan_override=None):
+                interpret: bool = False, plan_override=None,
+                double_buffer: bool = False):
     """Run ``iters`` red-black sweeps of ``sweep_fn`` over ``fields``.
 
     fields[:n_mut] are the relaxed state; the rest are frozen
@@ -293,14 +396,18 @@ def tiled_relax(fields: Sequence[jnp.ndarray], sweep_fn, n_mut: int,
     plan_override: optional ``(k, stripe)`` forcing a specific temporal
     block and stripe height (stripe must be a multiple of 8) — used by
     tests to exercise multi-stripe plans on small grids.
+
+    double_buffer=True pipelines stripe i+1's input DMA under stripe i's
+    sweeps (two VMEM slots; see _stripe_kernel_db). Identical numerics.
     """
     h, w = fields[0].shape
     if plan_override is not None:
         k, stripe = plan_override
     else:
-        plan = plan_stripes(h, w, len(fields), iters, k_max)
+        plan = plan_stripes(h, w, len(fields), iters, k_max,
+                            double_buffer=double_buffer)
         if plan is None:
             return None
         k, stripe, _ = plan
     return _tiled_chunks(tuple(fields), sweep_fn, prepare_fn, n_mut, iters,
-                         k, stripe, interpret)
+                         k, stripe, interpret, double_buffer)

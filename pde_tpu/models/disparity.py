@@ -47,66 +47,105 @@ class DisparityParams:
     # TPU-native default (see FlowNDParams.solver note); 0.5% AEE vs
     # the sequential-ALR golden at reference counts
     solver: int = 1
+    # windowed shift-add warp radius (gather-free TPU hot path,
+    # ops/warp.warp_x_window). 0 = exact gather warp. With radius r the
+    # result is exact for |disparity| < r; beyond it the sample becomes
+    # NaN (missing data), the same fallback as out-of-image warps.
+    warp_window: int = 0
+    # trace the first/second fixed-point loops as lax.fori_loop instead
+    # of unrolling: identical numerics, ~24x smaller HLO — the shape the
+    # fused whole-frame TPU programs use (see disparity_nd_fused)
+    fori: bool = False
 
 
-def warp_x(img, u):
+def warp_x(img, u, window: int = 0):
+    if window > 0:
+        from pde_tpu.ops.warp import warp_x_window
+
+        return warp_x_window(img, u, window)
     h, w = img.shape[-2:]
     x, y = identity_grid(h, w)
     return bilinear_warp(img, x + u, y)
 
 
-def _disp_level(u, i1t0, i1t1, i2t0, i2t1, us_ap, as_diff, p: "DisparityParams",
-                snd_is_gradmag: bool):
+def _disp_first_iter(u, i1t0, i1t1, i2t0, i2t1, us_ap, as_diff,
+                     p: "DisparityParams", snd_is_gradmag: bool,
+                     fori: bool):
+    """One warping (firstLoop) iteration: warp, derivative tensors, the
+    robust-weight secondLoop fixed point, median. fori=True runs the
+    secondLoop as a lax.fori_loop (one body instance in the program —
+    identical numerics to the unrolled form, far smaller HLO)."""
     has_snd = i2t1 is not None
     has_us = us_ap is not None
 
-    for _first in range(p.firstLoop):
-        i1t1w = warp_x(i1t1, u)
-        i1dt, i1dx, _ = fst_derivatives5(i1t0, i1t1w)
-        cu1 = i1dt * i1dx
-        du1 = i1dx * i1dx
+    i1t1w = warp_x(i1t1, u, p.warp_window)
+    i1dt, i1dx, _ = fst_derivatives5(i1t0, i1t1w)
+    cu1 = i1dt * i1dx
+    du1 = i1dx * i1dx
+    t2 = None
+    if has_snd:
+        i2t1w = warp_x(i2t1, u, p.warp_window)
+        if snd_is_gradmag:
+            i2dxt, i2dyt, i2dxx, i2dyy, i2dxy = snd_derivatives5(i2t0, i2t1w)
+            t2 = (i2dxt, i2dyt, i2dxx, i2dxy)
+            cu2 = i2dxt * i2dxx + i2dyt * i2dxy
+            du2 = i2dxx * i2dxx + i2dxy * i2dxy
+        else:
+            i2dt, i2dx, _ = fst_derivatives5(i2t0, i2t1w)
+            t2 = (i2dt, i2dx)
+            cu2 = i2dt * i2dx
+            du2 = i2dx * i2dx
+
+    def second(du_f):
+        op1 = (i1dt - i1dx * du_f) ** 2
+        gd1 = p.b1 / (p.alpha * jnp.sqrt(op1 + 1e-5))
+        cu_parts = [cu1 * gd1]
+        du_parts = [du1 * gd1]
         if has_snd:
-            i2t1w = warp_x(i2t1, u)
             if snd_is_gradmag:
-                i2dxt, i2dyt, i2dxx, i2dyy, i2dxy = snd_derivatives5(i2t0, i2t1w)
-                cu2 = i2dxt * i2dxx + i2dyt * i2dxy
-                du2 = i2dxx * i2dxx + i2dxy * i2dxy
+                i2dxt_, i2dyt_, i2dxx_, i2dxy_ = t2
+                op2 = (i2dxt_ - i2dxx_ * du_f) ** 2 + (i2dyt_ - i2dxy_ * du_f) ** 2
             else:
-                i2dt, i2dx, _ = fst_derivatives5(i2t0, i2t1w)
-                cu2 = i2dt * i2dx
-                du2 = i2dx * i2dx
+                i2dt_, i2dx_ = t2
+                op2 = (i2dt_ - i2dx_ * du_f) ** 2
+            gd2 = p.b2 / (p.alpha * jnp.sqrt(op2 + 1e-5))
+            cu_parts.append(cu2 * gd2)
+            du_parts.append(du2 * gd2)
+        if has_us:
+            ap_norm = (us_ap - u - du_f) ** 2
+            gs = (p.gammaS / p.alpha) * jnp.exp(-ap_norm / as_diff**2)
+            cu_parts.append(((us_ap - u) * gs)[None])
+            du_parts.append(gs[None])
 
-        du_f = jnp.zeros_like(u)
+        # plain sum over channels: NaN propagates (reference :289-293)
+        cu_gd = sum(jnp.sum(x, axis=0) for x in cu_parts)
+        du_gd = sum(jnp.sum(x, axis=0) for x in du_parts)
+
+        ww, wn, we, ws = diffusion_weights_4(
+            u + du_f, eps=1e-5, combine="max", zero_borders=True
+        )
+        solve = pcg_disp_llin4 if p.solver == 2 else sor_disp_llin4
+        return solve(u, du_f, cu_gd, du_gd, ww, wn, we, ws, p.iter, p.omega)
+
+    du_f = jnp.zeros_like(u)
+    if fori:
+        du_f = jax.lax.fori_loop(0, p.secondLoop,
+                                 lambda _, d: second(d), du_f)
+    else:
         for _second in range(p.secondLoop):
-            op1 = (i1dt - i1dx * du_f) ** 2
-            gd1 = p.b1 / (p.alpha * jnp.sqrt(op1 + 1e-5))
-            cu_parts = [cu1 * gd1]
-            du_parts = [du1 * gd1]
-            if has_snd:
-                if snd_is_gradmag:
-                    op2 = (i2dxt - i2dxx * du_f) ** 2 + (i2dyt - i2dxy * du_f) ** 2
-                else:
-                    op2 = (i2dt - i2dx * du_f) ** 2
-                gd2 = p.b2 / (p.alpha * jnp.sqrt(op2 + 1e-5))
-                cu_parts.append(cu2 * gd2)
-                du_parts.append(du2 * gd2)
-            if has_us:
-                ap_norm = (us_ap - u - du_f) ** 2
-                gs = (p.gammaS / p.alpha) * jnp.exp(-ap_norm / as_diff**2)
-                cu_parts.append(((us_ap - u) * gs)[None])
-                du_parts.append(gs[None])
+            du_f = second(du_f)
+    return medfilt2_3x3(u + du_f)
 
-            # plain sum over channels: NaN propagates (reference :289-293)
-            cu_gd = sum(jnp.sum(x, axis=0) for x in cu_parts)
-            du_gd = sum(jnp.sum(x, axis=0) for x in du_parts)
 
-            ww, wn, we, ws = diffusion_weights_4(
-                u + du_f, eps=1e-5, combine="max", zero_borders=True
-            )
-            solve = pcg_disp_llin4 if p.solver == 2 else sor_disp_llin4
-            du_f = solve(u, du_f, cu_gd, du_gd, ww, wn, we, ws, p.iter, p.omega)
-
-        u = medfilt2_3x3(u + du_f)
+def _disp_level(u, i1t0, i1t1, i2t0, i2t1, us_ap, as_diff, p: "DisparityParams",
+                snd_is_gradmag: bool):
+    step = partial(_disp_first_iter, i1t0=i1t0, i1t1=i1t1, i2t0=i2t0,
+                   i2t1=i2t1, us_ap=us_ap, as_diff=as_diff, p=p,
+                   snd_is_gradmag=snd_is_gradmag, fori=p.fori)
+    if p.fori:
+        return jax.lax.fori_loop(0, p.firstLoop, lambda _, uu: step(uu), u)
+    for _first in range(p.firstLoop):
+        u = step(u)
     return u
 
 
@@ -129,11 +168,101 @@ def disparity_nd_fused(il, ir, fst_term: str = "grad", snd_term: str = "gradmag"
     crash (non-monotone in program size: a compiler/runtime defect).
     Every affected configuration runs correctly per level
     (:func:`disparity_nd`) and fused at smaller image sizes; the fused
-    flow programs (flow_nd_fused, incl. 3ch 480x640) are unaffected."""
+    flow programs (flow_nd_fused, incl. 3ch 480x640) are unaffected.
+
+    Production callers on TPU should use :func:`disparity_nd_split`,
+    which runs the identical math as a handful of fused level-range
+    segments (one dispatch each) and does not trip the defect."""
     from pde_tpu.kernels.dispatch import xla_solvers
 
     with xla_solvers():
         return disparity_nd(il, ir, fst_term, snd_term, params)
+
+
+def _prep_pair(il, ir):
+    a = jnp.asarray(il, dtype=jnp.float32) / 255.0
+    b = jnp.asarray(ir, dtype=jnp.float32) / 255.0
+    if a.ndim == 2:
+        a, b = a[None], b[None]
+    return a, b
+
+
+@partial(jax.jit,
+         static_argnames=("lvl_hi", "lvl_lo", "fst_term", "snd_term", "params",
+                          "xla"))
+def _disp_segment(a, b, u, lvl_hi: int, lvl_lo: int, fst_term: str,
+                  snd_term: str, params: DisparityParams, xla: bool = True):
+    """Pyramid levels ``lvl_hi .. lvl_lo`` (coarse -> fine, inclusive) as
+    ONE fused device program. ``u`` is the incoming field at level
+    ``lvl_hi`` (or None at the coarsest level); the result is upscaled to
+    level ``lvl_lo - 1`` when ``lvl_lo > 0`` so segments chain directly.
+    The pyramid is rebuilt inside the trace — XLA dead-code-eliminates
+    the levels a segment does not touch. ``xla`` is part of the jit key:
+    True traces the pure-XLA solvers, False the Pallas dispatch."""
+    import contextlib
+
+    from pde_tpu.kernels.dispatch import xla_solvers
+
+    p = params
+    ctx = xla_solvers() if xla else contextlib.nullcontext()
+    with ctx:
+        return _disp_segment_body(a, b, u, lvl_hi, lvl_lo, fst_term, snd_term, p)
+
+
+def _disp_segment_body(a, b, u, lvl_hi, lvl_lo, fst_term, snd_term, p):
+    levels = build_pyramid([a, b], p.scl_factor, 10, 5, 1.25, p.scales)
+
+    def fst_img(img):
+        return rgb2grad(img) if fst_term == "grad" else img
+
+    def snd_img(img):
+        return None if snd_term == "none" else img
+
+    for lvl in range(lvl_hi, lvl_lo - 1, -1):
+        l0, l1 = levels[lvl]
+        h, w = l0.shape[-2:]
+        if u is None:
+            u = jnp.zeros((h, w), dtype=jnp.float32)
+        as_diff = 1.75 * p.scl_factor**lvl
+        u = _disp_level(u, fst_img(l0), fst_img(l1), snd_img(l0), snd_img(l1),
+                        None, as_diff, p, snd_term == "gradmag")
+        if lvl > 0:
+            nh, nw = levels[lvl - 1][0].shape[-2:]
+            u = imresize(u / p.scl_factor, (nh, nw), "bilinear")
+    return u
+
+
+def disparity_nd_split(il, ir, fst_term: str = "grad", snd_term: str = "gradmag",
+                       params: DisparityParams | None = None,
+                       n_parts: int = 2, xla: bool = True, **overrides):
+    """Coarse-to-fine disparity as ``n_parts`` fused level-range programs
+    (each one device dispatch) instead of one whole-frame program — the
+    production TPU path around the XLA:TPU defect documented on
+    :func:`disparity_nd_fused`. Identical numerics to :func:`disparity_nd`
+    (matches DispEminND_llin_2D.m:103-326); only the program partitioning
+    differs. Level ranges are split so each part holds a contiguous slice
+    of the pyramid, finest levels (the expensive ones) in the last part.
+
+    xla=True keeps the segments on the pure-XLA solvers (the known-robust
+    configuration for this pipeline); xla=False dispatches the Pallas
+    stripe kernels inside each segment.
+    """
+    from pde_tpu.core.pyramid import pyramid_scales
+
+    p = with_overrides(params or DisparityParams(), **overrides)
+    a, b = _prep_pair(il, ir)
+    h, w = a.shape[-2:]
+    n = min(len(pyramid_scales(h, w, p.scl_factor, 10)), p.scales)
+    n_parts = max(1, min(int(n_parts), n))
+    # contiguous level ranges, coarse first: [n-1 .. c1], [c1-1 .. c2], ...
+    bounds = [n - 1 - round(i * n / n_parts) for i in range(1, n_parts)] + [-1]
+    u = None
+    hi = n - 1
+    for lo_excl in bounds:
+        lo = lo_excl + 1
+        u = _disp_segment(a, b, u, hi, lo, fst_term, snd_term, p, xla)
+        hi = lo - 1
+    return u
 
 
 def disparity_nd(il, ir, fst_term: str = "grad", snd_term: str = "gradmag",

@@ -148,6 +148,17 @@ def _sym_level(u0, u1, it0, it1, sr_diff, p: "DisparitySymParams"):
     return u0, u1
 
 
+def disparity_sym_fused(il, ir, params: DisparitySymParams | None = None):
+    """Whole-frame fused symmetric disparity: one device program
+    (cf. flow_nd_fused). Routed through jax.jit with static params."""
+    return _disparity_sym_fused_impl(il, ir, params)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def _disparity_sym_fused_impl(il, ir, params):
+    return disparity_sym(il, ir, params)
+
+
 def disparity_sym(il, ir, params: DisparitySymParams | None = None,
                   collect: list | None = None, **overrides):
     """Symmetric disparity. il/ir: (C, H, W) or (H, W) uint8-range images.

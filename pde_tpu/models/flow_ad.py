@@ -126,6 +126,14 @@ def _ad_level(u, v, it0, i1t0, i1t1, i2t0, i2t1, us_ap, vs_ap, as_diff,
     return u, v
 
 
+@partial(jax.jit, static_argnames=("fst_term", "snd_term", "params"))
+def flow_ad_fused(it0, it1, fst_term: str = "grad", snd_term: str = "gradmag",
+                  params: FlowADParams | None = None):
+    """Whole-frame fused AD flow: the entire coarse-to-fine solve is ONE
+    device program (cf. flow_nd_fused)."""
+    return flow_ad(it0, it1, fst_term, snd_term, params)
+
+
 def flow_ad(it0, it1, fst_term: str = "grad", snd_term: str = "gradmag",
             params: FlowADParams | None = None, us=None, vs=None,
             collect: list | None = None, **overrides):

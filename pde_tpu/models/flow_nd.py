@@ -62,6 +62,11 @@ class FlowNDParams:
     # selects the line-implicit PCG (reference-trajectory parity).
     solver: int = 1
     scales: int = 10**9
+    # windowed shift-add warp radius (gather-free TPU hot path,
+    # ops/warp.warp_window). 0 = exact gather warp. With radius r the
+    # warp is exact for |flow| < r; beyond it the sample becomes NaN
+    # (missing data), the same fallback as out-of-image warps.
+    warp_window: int = 0
 
 
 def _fst_tensors(i_t0, i_t1w):
@@ -92,11 +97,18 @@ def _nd_level(u, v, i1t0, i1t1, i2t0, i2t1, us_ap, vs_ap, as_diff, p: "FlowNDPar
     has_us = us_ap is not None
     has_vs = vs_ap is not None
 
+    if p.warp_window > 0:
+        from pde_tpu.ops.warp import warp_window as _ww
+
+        warp = partial(_ww, r=p.warp_window)
+    else:
+        warp = warp_by_flow
+
     for _first in range(p.firstLoop):
-        i1t1w = warp_by_flow(i1t1, u, v)
+        i1t1w = warp(i1t1, u, v)
         t1 = _fst_tensors(i1t0, i1t1w)
         if has_snd:
-            i2t1w = warp_by_flow(i2t1, u, v)
+            i2t1w = warp(i2t1, u, v)
             t2 = _snd_tensors(i2t0, i2t1w) if snd_is_gradmag else _fst_tensors(i2t0, i2t1w)
 
         du = jnp.zeros_like(u)

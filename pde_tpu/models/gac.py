@@ -131,6 +131,19 @@ def _gac_b_evolve(phi, g, tau, nu, iters: int):
     return lax.fori_loop(0, iters, body, phi)
 
 
+@partial(jax.jit, static_argnames=("params",))
+def gac_a_fused(img, phi, params: GACParams | None = None):
+    """Fused GAC model "a": initial reinit + stopping function + the full
+    evolution in ONE device program (cf. flow_nd_fused)."""
+    return gac_a(img, phi, params)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def gac_b_fused(img, phi, params: GACParams | None = None):
+    """Fused GAC model "b" (one device program)."""
+    return gac_b(img, phi, params)
+
+
 def gac_a(img, phi, params: GACParams | None = None, **overrides):
     """Caselles-1993 GAC with balloon force. img: (C, H, W) or (H, W);
     phi: initial level set (H, W), >0 inside. Returns evolved PHI."""

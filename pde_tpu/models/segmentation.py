@@ -457,23 +457,49 @@ def _disp_segmentation(din, sparse: bool, params=None, phi=None, aa=None,
 
     # phase-level checkpoint/resume for the long seeds+competition run
     # (SURVEY.md section 5: the reference has none; its warm starts —
-    # param.PHI, RANSAC model_in — stay first-class here regardless)
+    # param.PHI, RANSAC model_in — stay first-class here regardless).
+    # The checkpoint is fingerprinted over (din, params, sparse) so a
+    # stale file from a different input/config is ignored rather than
+    # silently resumed, and it only applies to the cold-start pipeline:
+    # a warm-start ``phi`` re-segmentation never consumes one.
+    import hashlib
+
+    fp = hashlib.sha1()
+    fp.update(np.ascontiguousarray(
+        np.nan_to_num(np.asarray(din, np.float32), nan=1e30)).tobytes())
+    fp.update(repr((repr(p), bool(sparse))).encode())
+    fp_hex = fp.hexdigest()
+    fp_arr = np.frombuffer(fp_hex.encode(), dtype=np.uint8).copy()
+
     ck_phase = -1
-    if checkpoint_path is not None and os.path.exists(checkpoint_path):
+    if (checkpoint_path is not None and phi is None
+            and os.path.exists(checkpoint_path)):
         from pde_tpu.utils.checkpoint import load_state
 
         like = {"phase": 0, "phi": np.zeros((1, h, w), np.float32),
                 "sparam": np.zeros((1, 3 if p.polyorder == 1 else 6),
                                    np.float32),
-                "key": np.asarray(key)}
-        st = load_state(checkpoint_path, like)
-        ck_phase = int(st["phase"])
-        phi_list = [jnp.asarray(st["phi"][i]) for i in range(st["phi"].shape[0])]
-        sparam = jnp.asarray(st["sparam"])
-        key = jnp.asarray(st["key"])
+                "key": np.asarray(key), "fp": fp_arr}
+        try:
+            st = load_state(checkpoint_path, like)
+            if bytes(np.asarray(st["fp"])) != fp_hex.encode():
+                raise ValueError("fingerprint mismatch")
+        except Exception as e:
+            import warnings
+
+            warnings.warn(
+                f"ignoring checkpoint at {checkpoint_path}: {e} "
+                "(different input/params or incompatible format)",
+                stacklevel=3)
+        else:
+            ck_phase = int(st["phase"])
+            phi_list = [jnp.asarray(st["phi"][i])
+                        for i in range(st["phi"].shape[0])]
+            sparam = jnp.asarray(st["sparam"])
+            key = jnp.asarray(st["key"])
 
     def save_ck(phase, phi_list, sparam, key):
-        if checkpoint_path is None:
+        if checkpoint_path is None or phi is not None:
             return
         from pde_tpu.utils.checkpoint import save_state
 
@@ -482,7 +508,7 @@ def _disp_segmentation(din, sparse: bool, params=None, phi=None, aa=None,
             "phi": np.stack([np.asarray(x) for x in phi_list])
             if phi_list else np.zeros((0, h, w), np.float32),
             "sparam": np.asarray(sparam),
-            "key": np.asarray(key)})
+            "key": np.asarray(key), "fp": fp_arr})
 
     if phi is None:
         if ck_phase < 0:
@@ -515,6 +541,16 @@ def _disp_segmentation(din, sparse: bool, params=None, phi=None, aa=None,
         phi_list = phi_list + new_list
         if phi_list:
             phi_list, sparam, key = compete(phi_list, 2.0, p.rc_iterations2, key)
+
+    # run completed: drop the phase checkpoint so a later call with the
+    # same path starts fresh instead of resuming a finished pipeline
+    # (warm-start runs own no checkpoint and leave the path untouched)
+    if (checkpoint_path is not None and phi is None
+            and os.path.exists(checkpoint_path)):
+        try:
+            os.remove(checkpoint_path)
+        except OSError:
+            pass
 
     phi_stack = (jnp.stack(phi_list) if phi_list
                  else jnp.zeros((0, h, w), jnp.float32))

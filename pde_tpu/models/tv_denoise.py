@@ -101,6 +101,19 @@ def _tv4_level(iout, f, alpha, omega, outer_iter, inner_iter, solver):
     return lax.fori_loop(0, outer_iter + 1, body, iout)
 
 
+@partial(jax.jit, static_argnames=("params",))
+def tv_denoise4_fused(img, params: TVDenoise4Params | None = None):
+    """Whole-image fused TV-4 denoise: pyramid + every outer iteration in
+    ONE device program (cf. flow_nd_fused)."""
+    return tv_denoise4(img, params)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def tv_denoise8_fused(img, params: TVDenoise8Params | None = None):
+    """Whole-image fused TV-8 denoise (one device program)."""
+    return tv_denoise8(img, params)
+
+
 def tv_denoise4(img, params: TVDenoise4Params | None = None, **overrides):
     """TV denoise (4-neighbour). img: (C, H, W) or (H, W) float32."""
     p = with_overrides(params or TVDenoise4Params(), **overrides)

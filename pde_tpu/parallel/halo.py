@@ -26,6 +26,17 @@ def _shift(x, axis_name: str, up: bool, n_axis: int):
     return lax.ppermute(x, axis_name, perm), idx
 
 
+def halo_local(x: jnp.ndarray, halo: int = 1, **_kw) -> jnp.ndarray:
+    """Communication-free stand-in for :func:`halo_exchange`: identical
+    extended shape and arithmetic, but every tile replicates its OWN
+    boundary strips — interior tile seams get wrong values. Benchmarking
+    only: timing the same sweep with this in place of the real exchange
+    isolates the collectives' cost from per-shard fixed costs
+    (scripts/bench_scaling.py)."""
+    x = jnp.concatenate([x[..., :halo, :], x, x[..., -halo:, :]], axis=-2)
+    return jnp.concatenate([x[..., :, :halo], x, x[..., :, -halo:]], axis=-1)
+
+
 def halo_exchange(x: jnp.ndarray, halo: int = 1, *, ty_axis: str = "ty",
                   tx_axis: str = "tx") -> jnp.ndarray:
     """Pad a local (..., h, w) tile with `halo` rows/cols from mesh neighbors.

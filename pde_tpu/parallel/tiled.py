@@ -70,15 +70,18 @@ def _halo_shifts(x, halo: int = 1):
 
 
 def tiled_sor_flow_llin4(mesh: Mesh, u, v, du, dv, m, cu, cv, duc, dvc,
-                         ww, wn, we, ws, iters: int, omega: float):
+                         ww, wn, we, ws, iters: int, omega: float,
+                         comm: bool = True):
     """Tiled drop-in for ``sor_flow_llin4``: same update, (H, W) sharded
     over mesh axes ("ty", "tx"). Runs through the temporally-blocked
-    generic engine (halo exchanged once per k sweeps)."""
+    generic engine (halo exchanged once per k sweeps). comm=False is the
+    benchmark-only communication-free floor (see tiled_relax_sharded)."""
     from pde_tpu.kernels import sweeps
 
     du2, dv2 = tiled_relax_sharded(
         mesh, sweeps.flow_llin4_sweep,
-        (du, dv, u, v, m, cu, cv, duc, dvc, ww, wn, we, ws), 2, iters, omega)
+        (du, dv, u, v, m, cu, cv, duc, dvc, ww, wn, we, ws), 2, iters, omega,
+        comm=comm)
     return du2, dv2
 
 
@@ -276,7 +279,8 @@ def _shift_s_local(x):
 
 
 def tiled_relax_sharded(mesh: Mesh, sweep_factory, fields, n_mut: int,
-                        iters: int, omega: float, k: int = 4):
+                        iters: int, omega: float, k: int = 4,
+                        comm: bool = True):
     """Run ``iters`` global red-black sweeps of any ``kernels/sweeps.py``
     factory with (H, W) fields sharded over mesh axes ("ty", "tx").
 
@@ -284,8 +288,15 @@ def tiled_relax_sharded(mesh: Mesh, sweep_factory, fields, n_mut: int,
     replicated border is re-filled on mesh-edge tiles
     (opticalflowSolvers.c:156-179). Halos are exchanged once per ``k``
     sweeps (2k-px wide, see module note); pass k=1 for the classic
-    per-sweep exchange. Returns the n_mut relaxed fields."""
+    per-sweep exchange. Returns the n_mut relaxed fields.
+
+    comm=False replaces the halo exchange with a local replicate-pad of
+    identical shape/arithmetic (halo.halo_local) — WRONG at tile seams,
+    benchmark-only: it measures the communication-free floor."""
     prepare, sweep = sweep_factory(float(omega))
+    from pde_tpu.parallel.halo import halo_local
+
+    exchange = halo_exchange if comm else halo_local
 
     def local(*fs):
         mut = list(fs[:n_mut])
@@ -297,8 +308,8 @@ def tiled_relax_sharded(mesh: Mesh, sweep_factory, fields, n_mut: int,
         def chunk(mut, kc: int):
             halo = RB_RADIUS * kc
             aux = _ext_sweep_aux(h, w, halo)
-            ext = [halo_exchange(x, halo) for x in mut]
-            cst = [halo_exchange(x, halo) for x in const]
+            ext = [exchange(x, halo) for x in mut]
+            cst = [exchange(x, halo) for x in const]
             if prepare is not None:
                 cst = prepare(cst, aux)
 

@@ -305,6 +305,37 @@ def residuals_elin4(u, v, m, cu, cv, duc, dvc, ww, wn, we, ws):
 
 
 @jax.jit
+def residuals_llin4(u, v, du, dv, m, cu, cv, duc, dvc, ww, wn, we, ws):
+    """r = b − A·x for the late-linearisation flow system at the increment
+    state (dU, dV) — the optional RU/RV outputs of the reference gateway
+    (Oflow_sor_llin4_2d.c:384-385 → Residuals_llin4_2d,
+    opticalflowSolvers.c:766-918). Diffusion term Σ w_k (dU_k + U_k − U_c);
+    NaN Cu/Cv drops both the data term and the Du/Dv diagonal
+    contribution. Border-replicated. The gateway evaluates this at the
+    *input* increments (pre-relaxation residual)."""
+    wsum = ww + wn + we + ws
+    nu = _nbr_sum4(du + u, ww, wn, we, ws) - u * wsum
+    nv = _nbr_sum4(dv + v, ww, wn, we, ws) - v * wsum
+    m0 = jnp.nan_to_num(m)
+    ru_data = jnp.nan_to_num(cu) - m0 * dv + nu - (jnp.nan_to_num(duc) + wsum) * du
+    rv_data = jnp.nan_to_num(cv) - m0 * du + nv - (jnp.nan_to_num(dvc) + wsum) * dv
+    ru = jnp.where(jnp.isnan(cu), nu - wsum * du, ru_data)
+    rv = jnp.where(jnp.isnan(cv), nv - wsum * dv, rv_data)
+    return replicate_border(ru), replicate_border(rv)
+
+
+@jax.jit
+def residuals_disp_llin4(u, du, cu, duc, ww, wn, we, ws):
+    """Scalar late-linearisation residual — the optional RU output of
+    Disp_sor_llin4_2d (disparitySolvers.c Residuals_llin4_2d:218-300)."""
+    wsum = ww + wn + we + ws
+    nu = _nbr_sum4(du + u, ww, wn, we, ws) - u * wsum
+    r_data = jnp.nan_to_num(cu) + nu - (jnp.nan_to_num(duc) + wsum) * du
+    r = jnp.where(jnp.isnan(cu), nu - wsum * du, r_data)
+    return replicate_border(r)
+
+
+@jax.jit
 def lhs_elin4(u, v, m, duc, dvc, ww, wn, we, ws):
     """A·x for the elin4 system (cf. LHS_elin4_2d,
     opticalflowSolvers.c:387-496), border-replicated."""

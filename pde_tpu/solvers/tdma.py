@@ -35,10 +35,12 @@ def thomas_solve(a, b, c, d, axis: int = -2):
     All arrays share a shape; the solve runs independently over every
     other axis (those become vector lanes on the VPU).
 
-    On a TPU backend the recurrence runs inside a Pallas kernel (all
-    lines of one block VMEM-resident, kernels/tdma_pallas.py) — the
-    lax.scan path dispatches one fused loop per row and is ~100x slower
-    on real hardware. Identical numerics either way.
+    On a TPU backend the solve dispatches to :func:`thomas_solve_cr`
+    (cyclic reduction — fully vectorized, ~100x faster than the scan's
+    latency chain on real hardware); on CPU it runs the sequential
+    :func:`thomas_solve_scan`. The two paths agree to float32
+    elimination-order noise (~2e-5 on unit-scale systems,
+    tests/test_solvers.py), not bitwise.
     """
     if jax.default_backend() not in ("cpu",):
         return thomas_solve_cr(a, b, c, d, axis)

@@ -58,4 +58,15 @@ def load_state(path: str, like):
         raise ValueError(
             f"checkpoint holds {len(leaves)} leaves, expected "
             f"{treedef.num_leaves}")
+    saved_def = meta.get("treedef")
+    if saved_def is not None and saved_def != str(treedef):
+        # Same arity but different structure string: a container rename is
+        # benign, but reordered/renamed keys would silently permute leaves.
+        import warnings
+
+        warnings.warn(
+            "checkpoint treedef differs from the expected structure "
+            f"(saved: {saved_def!r}; expected: {str(treedef)!r}); leaves are "
+            "assigned by flatten order — verify the mapping is intended",
+            stacklevel=2)
     return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -47,14 +47,15 @@ W8 = ("ww", "wnw", "wn", "wne", "we", "wse", "ws", "wsw")
 
 
 def _run_case(rng, factory, xla_fn, mut_names, const_names, weight_names,
-              h, w, iters, omega, plan, nan_names=()):
+              h, w, iters, omega, plan, nan_names=(), double_buffer=False):
     f = _fields(rng, h, w, mut_names + const_names + weight_names)
     for n in nan_names:
         f[n] = _poison(f[n], rng)
     fields = tuple(f[n] for n in mut_names + const_names + weight_names)
     prepare, sweep = factory(omega)
     out = tiled_relax(fields, sweep, len(mut_names), iters,
-                      prepare_fn=prepare, interpret=True, plan_override=plan)
+                      prepare_fn=prepare, interpret=True, plan_override=plan,
+                      double_buffer=double_buffer)
     ref = xla_fn(f, iters, omega)
     if not isinstance(ref, tuple):
         ref = (ref,)
@@ -128,6 +129,17 @@ def test_tiled_sweep_parity_nan_data(rng, name):
     _run_case(rng, factory, xla_fn, mut, const, wts,
               h=40, w=33, iters=4, omega=1.9, plan=(2, 16),
               nan_names=nan_names)
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_tiled_sweep_parity_double_buffered(rng, name):
+    """The two-slot pipelined kernel (_stripe_kernel_db) must be bitwise
+    the serial engine's equal: multi-stripe plan so the cross-stripe
+    prefetch/drain logic is exercised."""
+    factory, xla_fn, mut, const, wts = CASES[name]
+    _run_case(rng, factory, xla_fn, mut, const, wts,
+              h=48, w=65, iters=5, omega=1.9, plan=(2, 16),
+              double_buffer=True)
 
 
 @pytest.mark.parametrize("name", ["flow_llin4", "flow_elin4"])

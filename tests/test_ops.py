@@ -84,6 +84,48 @@ def test_warp_by_flow_matches_reference_direction(rng):
     assert np.isnan(out[:, -1]).all()
 
 
+def test_warp_window_exact_within_bound(rng):
+    """The gather-free windowed warps match the gather warp (to float32
+    lerp-association noise) wherever |floor(displacement)| < r."""
+    from pde_tpu.ops.warp import warp_window, warp_x_window
+
+    h, w = 17, 23
+    img = jnp.asarray(rng.standard_normal((2, h, w)).astype(np.float32))
+    u = jnp.asarray((rng.random((h, w)) * 7.8 - 3.9).astype(np.float32))
+    v = jnp.asarray((rng.random((h, w)) * 7.8 - 3.9).astype(np.float32))
+    x, y = identity_grid(h, w)
+
+    want = np.asarray(bilinear_warp(img, x + u, y))
+    got = np.asarray(warp_x_window(img, u, 4))
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+    np.testing.assert_allclose(np.nan_to_num(got), np.nan_to_num(want),
+                               atol=1e-5)
+
+    want2 = np.asarray(warp_by_flow(img, u, v))
+    got2 = np.asarray(warp_window(img, u, v, 4))
+    np.testing.assert_array_equal(np.isnan(got2), np.isnan(want2))
+    np.testing.assert_allclose(np.nan_to_num(got2), np.nan_to_num(want2),
+                               atol=1e-5)
+
+
+def test_warp_window_nan_outside_window():
+    """In-image samples beyond the window radius become NaN (missing
+    data), never silently wrong values."""
+    from pde_tpu.ops.warp import warp_window, warp_x_window
+
+    h, w = 8, 32
+    img = jnp.asarray(np.arange(h * w, dtype=np.float32).reshape(h, w))
+    u = jnp.full((h, w), 6.0, jnp.float32)  # outside r=4 window
+    out = np.asarray(warp_x_window(img, u, 4))
+    assert np.isnan(out[:, : w - 6]).all()
+    out2 = np.asarray(warp_window(img, u, jnp.zeros_like(u), 4))
+    assert np.isnan(out2[:, : w - 6]).all()
+    # and within a bigger window the same sample is finite + exact
+    out3 = np.asarray(warp_x_window(img, u, 8))
+    np.testing.assert_allclose(out3[:, : w - 6],
+                               np.asarray(img)[:, 6:], atol=1e-6)
+
+
 def _matlab_circshift_weights(U, V):
     """Literal NumPy translation of OPdiffWeights
     (FlowEminND_llin_2D_v10.m:389-433) for interior comparison."""

@@ -154,21 +154,89 @@ def test_segmentation_sparse_real_disparity():
     assert np.isfinite(np.asarray(sparam)).all()
 
 
-def test_disp_segmentation_checkpoint_resume(rng, tmp_path):
-    """A run resumed from a phase checkpoint must reproduce the
-    uninterrupted run exactly (same key/state at each phase)."""
+def test_disp_segmentation_checkpoint_resume(rng, tmp_path, monkeypatch):
+    """A run resumed from a phase checkpoint after an interruption must
+    reproduce the uninterrupted run exactly (same key/state at each
+    phase), and a completed run removes its checkpoint."""
+    import pde_tpu.models.segmentation as segmod
+
     d = _two_planes(rng=rng)
     kw = dict(seeds=2, seed_iterations=4, rc_iterations=3, rc_iterations2=2,
               ransac_first=50, ransac_rest=20)
     phi_a, seg_a, par_a = disp_segmentation(d, **kw)
 
+    # interrupt the pipeline at the first region competition (after the
+    # phase-0 checkpoint is on disk)
     ck = str(tmp_path / "seg.npz")
-    phi_b, seg_b, par_b = disp_segmentation(d, checkpoint_path=ck, **kw)
-    assert os.path.exists(ck)
-    np.testing.assert_array_equal(np.asarray(seg_a), np.asarray(seg_b))
+    real_rc = segmod._region_competition
+    calls = {"n": 0}
 
-    # resume from the saved phase: must agree with the full run
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("simulated preemption")
+
+    monkeypatch.setattr(segmod, "_region_competition", boom)
+    with pytest.raises(RuntimeError):
+        disp_segmentation(d, checkpoint_path=ck, **kw)
+    monkeypatch.setattr(segmod, "_region_competition", real_rc)
+    assert calls["n"] == 1 and os.path.exists(ck)
+
+    # resume from the saved phase: must agree with the full run, and the
+    # finished run cleans up its checkpoint
     phi_c, seg_c, par_c = disp_segmentation(d, checkpoint_path=ck, **kw)
-    np.testing.assert_array_equal(np.asarray(seg_b), np.asarray(seg_c))
-    np.testing.assert_allclose(np.asarray(phi_b), np.asarray(phi_c),
+    np.testing.assert_array_equal(np.asarray(seg_a), np.asarray(seg_c))
+    np.testing.assert_allclose(np.asarray(phi_a), np.asarray(phi_c),
                                atol=1e-6)
+    assert not os.path.exists(ck)
+
+
+def test_disp_segmentation_checkpoint_stale_ignored(rng, tmp_path):
+    """A checkpoint fingerprinted for a different input map is ignored
+    (with a warning), not silently resumed (ADVICE r4)."""
+    import warnings
+    from pde_tpu.utils.checkpoint import save_state
+
+    d = _two_planes(rng=rng)
+    kw = dict(seeds=2, seed_iterations=3, rc_iterations=2, rc_iterations2=2,
+              ransac_first=50, ransac_rest=20)
+    ck = str(tmp_path / "seg.npz")
+    # forge a checkpoint with a wrong fingerprint but valid structure
+    save_state(ck, {
+        "phase": 2,
+        "phi": np.full((1,) + d.shape, -1.0, np.float32),
+        "sparam": np.zeros((1, 3), np.float32),
+        "key": np.asarray(jax.random.PRNGKey(123)),
+        "fp": np.zeros(40, np.uint8)})
+    phi_ref, seg_ref, _ = disp_segmentation(d, **kw)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        phi_b, seg_b, _ = disp_segmentation(d, checkpoint_path=ck, **kw)
+    assert any("ignoring checkpoint" in str(w.message) for w in rec)
+    np.testing.assert_array_equal(np.asarray(seg_ref), np.asarray(seg_b))
+
+
+def test_disp_segmentation_checkpoint_with_warm_start(rng, tmp_path):
+    """checkpoint_path + a warm-start ``phi``: the checkpoint must be
+    neither consumed nor overwritten (the warm-start path is stateless;
+    VERDICT r4 weak #7)."""
+    from pde_tpu.utils.checkpoint import save_state
+
+    d = _two_planes(32, 40, rng=rng)
+    phi0 = -np.ones((1, 32, 40), np.float32)
+    phi0[0, 4:28, 4:18] = 1.0
+    kw = dict(seed_iterations=3, rc_iterations2=2,
+              ransac_first=50, ransac_rest=20)
+    ck = str(tmp_path / "seg.npz")
+    sentinel = {
+        "phase": 1,
+        "phi": np.full((1, 32, 40), 7.0, np.float32),
+        "sparam": np.zeros((1, 3), np.float32),
+        "key": np.asarray(jax.random.PRNGKey(9)),
+        "fp": np.zeros(40, np.uint8)}
+    save_state(ck, sentinel)
+    before = open(ck, "rb").read()
+    phi_ref, seg_ref, _ = disp_segmentation(d, phi=jnp.asarray(phi0), **kw)
+    phi_b, seg_b, _ = disp_segmentation(d, phi=jnp.asarray(phi0),
+                                        checkpoint_path=ck, **kw)
+    np.testing.assert_array_equal(np.asarray(seg_ref), np.asarray(seg_b))
+    assert os.path.exists(ck) and open(ck, "rb").read() == before

@@ -220,6 +220,56 @@ def test_residual_lhs_consistency(rng):
     )
 
 
+def test_residuals_llin4_matches_literal_oracle(rng):
+    """RU/RV of the llin gateway (Residuals_llin4_2d,
+    opticalflowSolvers.c:766-918): literal NumPy port, incl. the NaN-Cu
+    drop of data term + diagonal and the border replication."""
+    from pde_tpu.solvers.sor import residuals_llin4, residuals_disp_llin4
+
+    h, w = 9, 11
+    f = lambda: rng.standard_normal((h, w)).astype(np.float32)
+    u, v, du, dv, m, cu, cv = f(), f(), f(), f(), f(), f(), f()
+    duc, dvc = np.abs(f()), np.abs(f())
+    ww, wn, we, ws = np.abs(f()), np.abs(f()), np.abs(f()), np.abs(f())
+    cu[2, 3] = np.nan  # NaN data term at one pixel
+
+    def oracle(u_, du_, c_, diag_, mdv):
+        ru = np.zeros((h, w), np.float32)
+        for i in range(1, h - 1):
+            for j in range(1, w - 1):
+                nb = (
+                    ww[i, j] * (du_[i, j - 1] + u_[i, j - 1] - u_[i, j])
+                    + we[i, j] * (du_[i, j + 1] + u_[i, j + 1] - u_[i, j])
+                    + wn[i, j] * (du_[i - 1, j] + u_[i - 1, j] - u_[i, j])
+                    + ws[i, j] * (du_[i + 1, j] + u_[i + 1, j] - u_[i, j])
+                )
+                wsum = ww[i, j] + we[i, j] + wn[i, j] + ws[i, j]
+                if not np.isnan(c_[i, j]):
+                    ru[i, j] = (c_[i, j] - mdv[i, j] + nb
+                                - (diag_[i, j] + wsum) * du_[i, j])
+                else:
+                    ru[i, j] = nb - wsum * du_[i, j]
+        ru[0, :] = ru[1, :]
+        ru[-1, :] = ru[-2, :]
+        ru[:, 0] = ru[:, 1]
+        ru[:, -1] = ru[:, -2]
+        return ru
+
+    ru, rv = residuals_llin4(*map(jnp.asarray,
+                                  (u, v, du, dv, m, cu, cv, duc, dvc,
+                                   ww, wn, we, ws)))
+    np.testing.assert_allclose(np.asarray(ru), oracle(u, du, cu, duc, m * dv),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rv), oracle(v, dv, cv, dvc, m * du),
+                               atol=1e-5)
+
+    r = residuals_disp_llin4(*map(jnp.asarray,
+                                  (u, du, cu, duc, ww, wn, we, ws)))
+    np.testing.assert_allclose(np.asarray(r),
+                               oracle(u, du, cu, duc, np.zeros((h, w))),
+                               atol=1e-5)
+
+
 def test_cv_aos_identity_without_forcing():
     """With DATA=0 and uniform diffusivity, AOS preserves a linear PHI
     approximately (the implicit diffusion of a linear fn is itself)."""
