@@ -124,8 +124,41 @@ def _sync(x):
     np.asarray(x)  # device->host copy = true synchronisation on axon
 
 
+def _family_e2e_lines():
+    """Per-family end-to-end lines (VERDICT r4 #2), one subprocess each
+    (scripts/bench_family_e2e.py) so the open XLA:TPU fused-disparity
+    defect can at worst cost one line. MUST run before this process
+    touches the TPU: a subprocess crash restarts the tunnel worker,
+    which would sever an existing parent connection."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    fams = ["flow_fmg", "flow_ad", "tv4", "tv8", "gac_a", "gac_b",
+            "disparity_sym", "disparity"]
+    for fam in fams:
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.join(here, "scripts",
+                                              "bench_family_e2e.py"), fam],
+                capture_output=True, text=True, timeout=1500)
+            emitted = False
+            for line in r.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line, flush=True)
+                    emitted = True
+            if not emitted:
+                tail = (r.stdout + r.stderr).strip().splitlines()[-1:]
+                print(f"# family {fam} e2e produced no line "
+                      f"(rc={r.returncode}): {' '.join(tail)[:200]}",
+                      flush=True)
+        except Exception as e:
+            print(f"# family {fam} e2e failed: {e!r}", flush=True)
+
+
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    if "--skip-families" not in sys.argv:
+        _family_e2e_lines()
     import jax
     import jax.numpy as jnp
 

@@ -46,6 +46,12 @@ def _use_pallas() -> bool:
     return (not _FORCE_XLA.get()) and jax.default_backend() not in ("cpu",)
 
 
+def pallas_active() -> bool:
+    """Public trace-time query: may Pallas kernels be dispatched here?
+    (False under :func:`xla_solvers` or on the CPU backend.)"""
+    return _use_pallas()
+
+
 def _run_tiled(fields, sweep_factory, n_mut, iters, omega, small):
     prepare, sweep = sweep_factory(float(omega))
     # k_max capped at 8 even for VMEM-resident grids: the chunk body is

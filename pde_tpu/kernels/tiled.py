@@ -265,8 +265,11 @@ def _stripe_kernel_db(*refs, sweep_fn, prepare_fn, n_mut: int, n_fields: int,
 # target bytes for the stripe working set (fields only; live temporaries
 # of the sweep body roughly double it — keep well under 16 MiB VMEM)
 _STRIPE_BUDGET_BYTES = 6 * 1024 * 1024
-# per-slot budget for the double-buffered engine (two slots resident)
-_STRIPE_BUDGET_BYTES_DB = 5 * 1024 * 1024
+# per-slot budget for the double-buffered engine (two slots resident;
+# sweep-body temporaries live alongside BOTH slots, so this must stay
+# well under half the serial budget — 5 MiB/slot compiled to an 18 MiB
+# scoped-vmem stack and got rejected by Mosaic on v5e)
+_STRIPE_BUDGET_BYTES_DB = 3 * 1024 * 1024
 _MIN_STRIPE = 8
 
 

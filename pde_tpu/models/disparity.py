@@ -170,9 +170,15 @@ def disparity_nd_fused(il, ir, fst_term: str = "grad", snd_term: str = "gradmag"
     (:func:`disparity_nd`) and fused at smaller image sizes; the fused
     flow programs (flow_nd_fused, incl. 3ch 480x640) are unaffected.
 
-    Production callers on TPU should use :func:`disparity_nd_split`,
-    which runs the identical math as a handful of fused level-range
-    segments (one dispatch each) and does not trip the defect."""
+    Round-5 bisection sharpened the picture: ANY program fusing >= 2
+    pyramid-level bodies of this pipeline can crash (2/4/7-way level
+    splits all fault at reference counts, as do loop-structured
+    lax.fori_loop forms even at counts whose unrolled programs run),
+    while one-level-per-program partitions always run. Production
+    callers on TPU should therefore use
+    ``disparity_nd_split(..., n_parts=99)`` — one fused program per
+    pyramid level, measured 115x the single-core oracle end-to-end
+    through this environment's TPU tunnel (BENCH r5)."""
     from pde_tpu.kernels.dispatch import xla_solvers
 
     with xla_solvers():
@@ -263,6 +269,96 @@ def disparity_nd_split(il, ir, fst_term: str = "grad", snd_term: str = "gradmag"
         u = _disp_segment(a, b, u, hi, lo, fst_term, snd_term, p, xla)
         hi = lo - 1
     return u
+
+
+@partial(jax.jit,
+         static_argnames=("scl_exps", "next_shape", "fst_term", "snd_term",
+                          "params", "xla"))
+def _disp_chunk_pre(levels_slice, u, scl_exps: tuple, next_shape,
+                    fst_term: str, snd_term: str, params: DisparityParams,
+                    xla: bool = True):
+    """Like :func:`_disp_segment` but takes PREBUILT pyramid levels for
+    this chunk only (``levels_slice`` coarse -> fine, absolute level
+    exponents in ``scl_exps``) instead of rebuilding the pyramid
+    in-trace — isolates the level bodies from the pyramid-construction
+    ops in the compiled program. ``next_shape``: upscale target after the
+    chunk's finest level (None at the pyramid base)."""
+    import contextlib
+
+    from pde_tpu.kernels.dispatch import xla_solvers
+
+    p = params
+    ctx = xla_solvers() if xla else contextlib.nullcontext()
+
+    def fst_img(img):
+        return rgb2grad(img) if fst_term == "grad" else img
+
+    def snd_img(img):
+        return None if snd_term == "none" else img
+
+    with ctx:
+        for i, (l0, l1) in enumerate(levels_slice):
+            h, w = l0.shape[-2:]
+            if u is None:
+                u = jnp.zeros((h, w), dtype=jnp.float32)
+            as_diff = 1.75 * p.scl_factor ** scl_exps[i]
+            u = _disp_level(u, fst_img(l0), fst_img(l1), snd_img(l0),
+                            snd_img(l1), None, as_diff, p,
+                            snd_term == "gradmag")
+            if i < len(levels_slice) - 1:
+                nh, nw = levels_slice[i + 1][0].shape[-2:]
+                u = imresize(u / p.scl_factor, (nh, nw), "bilinear")
+        if next_shape is not None:
+            u = imresize(u / p.scl_factor, next_shape, "bilinear")
+    return u
+
+
+def disparity_nd_chunked(il, ir, fst_term: str = "grad",
+                         snd_term: str = "gradmag",
+                         params: DisparityParams | None = None,
+                         chunk: int = 4, xla: bool = True, **overrides):
+    """Pyramid built OUTSIDE the fused programs (host-side chain of
+    small ops, exactly like :func:`disparity_nd`); the level bodies run
+    fused in chunks of ``chunk`` levels per program. chunk=1 reproduces
+    the known-safe per-level partitioning with the pyramid factored out."""
+    p = with_overrides(params or DisparityParams(), **overrides)
+    a, b = _prep_pair(il, ir)
+    levels = build_pyramid([a, b], p.scl_factor, 10, 5, 1.25, p.scales)
+    n = len(levels)
+    u = None
+    hi = n - 1
+    while hi >= 0:
+        lo = max(0, hi - chunk + 1)
+        lv_slice = tuple((levels[l][0], levels[l][1])
+                         for l in range(hi, lo - 1, -1))
+        nxt = levels[lo - 1][0].shape[-2:] if lo > 0 else None
+        u = _disp_chunk_pre(lv_slice, u, tuple(range(hi, lo - 1, -1)), nxt,
+                            fst_term, snd_term, p, xla)
+        hi = lo - 1
+    return u
+
+
+def disparity_nd_hybrid(il, ir, fst_term: str = "grad",
+                        snd_term: str = "gradmag",
+                        params: DisparityParams | None = None,
+                        fused_finest: int = 5, xla: bool = True,
+                        **overrides):
+    """Hybrid partitioning: every coarse pyramid level is its own (tiny,
+    known-safe) program; the ``fused_finest`` finest levels — where
+    nearly all the arithmetic lives — run as ONE fused program. The
+    dispatch count is (n_levels - fused_finest + 1) instead of the
+    per-level path's n_levels, with the expensive tail fused."""
+    from pde_tpu.core.pyramid import pyramid_scales
+
+    p = with_overrides(params or DisparityParams(), **overrides)
+    a, b = _prep_pair(il, ir)
+    h, w = a.shape[-2:]
+    n = min(len(pyramid_scales(h, w, p.scl_factor, 10)), p.scales)
+    k = max(1, min(int(fused_finest), n))
+    u = None
+    for lvl in range(n - 1, k - 1, -1):  # coarse levels, one program each
+        u = _disp_segment(a, b, u, lvl, lvl, fst_term, snd_term, p, xla)
+    return _disp_segment(a, b, u, k - 1, 0, fst_term, snd_term, p, xla)
 
 
 def disparity_nd(il, ir, fst_term: str = "grad", snd_term: str = "gradmag",

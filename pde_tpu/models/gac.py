@@ -144,18 +144,44 @@ def gac_b_fused(img, phi, params: GACParams | None = None):
     return gac_b(img, phi, params)
 
 
-def gac_a(img, phi, params: GACParams | None = None, **overrides):
+def _chunked_evolve(evolve, phi, total: int, collect, collect_every: int):
+    """Run ``total`` AOS steps; when ``collect`` is given, break the
+    evolution into ``collect_every``-step jitted chunks and append the
+    intermediate level sets — the engine's answer to the reference's
+    per-iteration ``imagesc``/``drawnow`` (GAC_v10a.m:117): observability
+    lives BETWEEN device programs, never inside the hot loop."""
+    if collect is None:
+        return evolve(phi, iters=total)
+    done = 0
+    while done < total:
+        k = min(collect_every, total - done)
+        phi = evolve(phi, iters=k)
+        collect.append(phi)
+        done += k
+    return phi
+
+
+def gac_a(img, phi, params: GACParams | None = None, collect=None,
+          collect_every: int = 10, **overrides):
     """Caselles-1993 GAC with balloon force. img: (C, H, W) or (H, W);
-    phi: initial level set (H, W), >0 inside. Returns evolved PHI."""
+    phi: initial level set (H, W), >0 inside. Returns evolved PHI.
+
+    collect: optional list — intermediate PHI every ``collect_every``
+    steps is appended (evolving-contour observability)."""
     p = with_overrides(params or GACParams(), **overrides)
     phi = reinit(jnp.asarray(phi, jnp.float32), steps=40)
     g = _stopping_function(jnp.asarray(img, jnp.float32), p.lam)
-    return _gac_a_evolve(phi, g, p.c, p.tau, p.SMOOTH, iters=p.ITER)
+    return _chunked_evolve(
+        partial(_gac_a_evolve, g=g, c=p.c, tau=p.tau, nu=p.SMOOTH),
+        phi, p.ITER, collect, collect_every)
 
 
-def gac_b(img, phi, params: GACParams | None = None, **overrides):
+def gac_b(img, phi, params: GACParams | None = None, collect=None,
+          collect_every: int = 10, **overrides):
     """Caselles-1997 GAC with convection term grad(g).grad(PHI)."""
     p = with_overrides(params or GACParams(), **overrides)
     phi = reinit(jnp.asarray(phi, jnp.float32), steps=40)
     g = _stopping_function(jnp.asarray(img, jnp.float32), p.lam)
-    return _gac_b_evolve(phi, g, p.tau, p.SMOOTH, iters=p.ITER)
+    return _chunked_evolve(
+        partial(_gac_b_evolve, g=g, tau=p.tau, nu=p.SMOOTH),
+        phi, p.ITER, collect, collect_every)

@@ -425,7 +425,7 @@ def _number_segments(phi_stack):
 
 
 def _disp_segmentation(din, sparse: bool, params=None, phi=None, aa=None,
-                       checkpoint_path=None, **overrides):
+                       checkpoint_path=None, collect=None, **overrides):
     base = params or (sparse_defaults() if sparse else DispSegParams())
     p = with_overrides(base, **overrides)
     d_levels, d_fit, seed_pyr, comp_pyr = _build_pyramids(din, p, sparse)
@@ -510,15 +510,25 @@ def _disp_segmentation(din, sparse: bool, params=None, phi=None, aa=None,
             "sparam": np.asarray(sparam),
             "key": np.asarray(key), "fp": fp_arr})
 
+    def snap(name, phi_list):
+        # phase-level observability (the reference's imagesc/drawnow,
+        # DispSegmentation.m:395,644-645): append (phase, SEG map)
+        if collect is not None:
+            stack = (jnp.stack(phi_list) if phi_list
+                     else jnp.zeros((0, h, w), jnp.float32))
+            collect.append((name, _number_segments(stack)))
+
     if phi is None:
         if ck_phase < 0:
             phi_list, sparam, key = gen(seed_pyr, 0.7, p.seeds, aa0, key)
             save_ck(0, phi_list, sparam, key)
+        snap("seeds", phi_list)
         if p.seeds != 1 and phi_list:
             if ck_phase < 1:
                 phi_list, sparam, key = compete(phi_list, 1.5,
                                                 p.rc_iterations, key)
                 save_ck(1, phi_list, sparam, key)
+            snap("competition1", phi_list)
             if ck_phase < 2:
                 if phi_list:
                     covered = np.asarray(
@@ -529,6 +539,7 @@ def _disp_segmentation(din, sparse: bool, params=None, phi=None, aa=None,
                 new_list, _, key = gen(comp_pyr, 1.2, p.seeds, covered, key)
                 phi_list = phi_list + new_list
                 save_ck(2, phi_list, sparam, key)
+            snap("seeds2", phi_list)
             if phi_list:
                 phi_list, sparam, key = compete(phi_list, 1.5, p.rc_iterations2, key)
     else:
@@ -562,19 +573,23 @@ def _disp_segmentation(din, sparse: bool, params=None, phi=None, aa=None,
 
 
 def disp_segmentation(din, params: DispSegParams | None = None, phi=None,
-                      aa=None, checkpoint_path=None, **overrides):
+                      aa=None, checkpoint_path=None, collect=None,
+                      **overrides):
     """Dense disparity-map segmentation (DispSegmentation.m).
 
     din: (H, W) disparity map. phi: optional (S, H, W) warm-start level
     sets (re-segmentation path, :147-180). aa: optional (H, W) allowed
-    area. Returns (PHI (S, H, W), SEG (H, W) int32, SParam (S, k))."""
+    area. collect: optional list — (phase_name, SEG map) snapshots are
+    appended after each pipeline phase (observability parity with the
+    reference's imagesc/drawnow). Returns (PHI (S, H, W), SEG (H, W)
+    int32, SParam (S, k))."""
     return _disp_segmentation(din, False, params, phi, aa,
-                               checkpoint_path, **overrides)
+                               checkpoint_path, collect, **overrides)
 
 
 def disp_segmentation_sparse(din, params: DispSegParams | None = None,
                              phi=None, aa=None, checkpoint_path=None,
-                             **overrides):
+                             collect=None, **overrides):
     """Sparse (NaN-holed) disparity segmentation (DispSegmentationSparse.m)."""
-    return _disp_segmentation(din, True, params, phi, aa,
-                              checkpoint_path, **overrides)
+    return _disp_segmentation(din, True, params, phi, aa, checkpoint_path,
+                              collect, **overrides)

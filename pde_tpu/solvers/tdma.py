@@ -18,6 +18,7 @@ SOR-blended with the previous iterate.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -36,15 +37,50 @@ def thomas_solve(a, b, c, d, axis: int = -2):
     other axis (those become vector lanes on the VPU).
 
     On a TPU backend the solve dispatches to :func:`thomas_solve_cr`
-    (cyclic reduction — fully vectorized, ~100x faster than the scan's
-    latency chain on real hardware); on CPU it runs the sequential
-    :func:`thomas_solve_scan`. The two paths agree to float32
+    (pure-XLA cyclic reduction); on CPU it runs the sequential
+    :func:`thomas_solve_scan`. All paths agree to float32
     elimination-order noise (~2e-5 on unit-scale systems,
     tests/test_solvers.py), not bitwise.
+
+    A VMEM-resident Pallas CR kernel exists (kernels/tdma_pallas.py,
+    opt-in via PDE_TPU_PALLAS_TDMA=1) but measured SLOWER than the XLA
+    CR on v5e (1.47 ms vs 0.94 ms per isolated 1024x1024 solve): XLA
+    fuses the CR levels with the surrounding coefficient assembly,
+    which the custom-call boundary forfeits, and Mosaic's no-reuse
+    scoped-vmem stack forces narrow (DMA-latency-bound) stripes. Kept
+    with tests as the starting point for a future fused line-sweep
+    kernel.
     """
     if jax.default_backend() not in ("cpu",):
+        if os.environ.get("PDE_TPU_PALLAS_TDMA") == "1":
+            out = _thomas_pallas_maybe(a, b, c, d, axis)
+            if out is not None:
+                return out
         return thomas_solve_cr(a, b, c, d, axis)
     return thomas_solve_scan(a, b, c, d, axis)
+
+
+def _thomas_pallas_maybe(a, b, c, d, axis: int):
+    """Route to the Pallas CR kernel when the shape pays for it and the
+    Pallas opt-out (kernels/dispatch.xla_solvers) is not active."""
+    from pde_tpu.kernels.dispatch import pallas_active
+    from pde_tpu.kernels.tdma_pallas import plan_cols, tridiag_cr_pallas
+
+    if not pallas_active():
+        return None
+    length = a.shape[axis]
+    n_lines = a.size // max(length, 1)
+    if length < 128 or n_lines < 128:
+        return None  # too small: the XLA CR is already fine
+    hp = 1 << max(1, (length - 1).bit_length())
+    if plan_cols(hp) is None:
+        return None
+    def to2d(x):
+        return jnp.moveaxis(x, axis, 0).reshape(length, -1)
+
+    shape = jnp.moveaxis(a, axis, 0).shape
+    x = tridiag_cr_pallas(to2d(a), to2d(b), to2d(c), to2d(d))
+    return jnp.moveaxis(x.reshape(shape), 0, axis)
 
 
 def thomas_solve_cr(a, b, c, d, axis: int = -2):

@@ -68,12 +68,15 @@ def main():
 
         il, ir = load_image_pair("tsukuba")
         il, ir = jnp.asarray(il), jnp.asarray(ir)
-        p = DisparityParams(fori=True)
+        p = DisparityParams()
+        # one fused program PER LEVEL: the known-safe partitioning around
+        # the open XLA:TPU multi-level-program fault (disparity_nd_fused
+        # docstring); ~14 dispatches, measured 115x oracle incl. tunnel
         best = _time(lambda: disparity_nd_split(il, ir, "grad", "gradmag", p,
-                                                n_parts=1))
-        base = _base("literal_alr_oracle_s", "oracle_disp_e2e.json") or 26.57
-        metric = ("disparity_nd end-to-end, Tsukuba (fused loop-structured "
-                  "program, incl. tunnel overhead)")
+                                                n_parts=99))
+        base = _base("solver2_literal_alr_s", "oracle_disp_e2e.json") or 26.57
+        metric = ("disparity_nd end-to-end, Tsukuba (per-level fused "
+                  "programs, incl. tunnel overhead)")
     elif fam == "disparity_sym":
         from pde_tpu.models.disparity_sym import disparity_sym_fused
 

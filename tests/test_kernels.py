@@ -254,6 +254,25 @@ def test_thomas_cr_matches_scan(rng, shape, axis):
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize("h, w", [(64, 256), (100, 140), (128, 130)])
+def test_tridiag_cr_pallas_matches_scan(rng, h, w):
+    """The VMEM-resident Pallas CR kernel (interpret mode) must agree
+    with the sequential Thomas scan on diagonally dominant systems,
+    incl. non-power-of-two heights (identity-row padding) and unaligned
+    widths."""
+    from pde_tpu.kernels.tdma_pallas import tridiag_cr_pallas
+    from pde_tpu.solvers.tdma import thomas_solve_scan
+
+    a = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32)) * 0.3
+    c = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32)) * 0.3
+    b = 2.0 + jnp.abs(a) + jnp.abs(c)
+    d = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+    want = thomas_solve_scan(a, b, c, d, axis=-2)
+    got = tridiag_cr_pallas(a, b, c, d, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=1e-4)
+
+
 def test_thomas_cr_ignores_junk_corner_coeffs(rng):
     """a[0] / c[-1] may hold junk by contract (scan multiplies them by a
     zero carry); CR must mask them identically."""

@@ -240,6 +240,27 @@ def test_fused_wrappers_match_per_level(rng):
     np.testing.assert_allclose(np.asarray(f1v), np.asarray(f2v), atol=1e-3)
 
 
+def test_warp_window_models_match_gather_path(rng):
+    """flow_nd / disparity_nd with a windowed shift-add warp
+    (warp_window=r) must reproduce the gather-warp results wherever the
+    flow stays inside the window — here the true shift is 1-2 px, far
+    inside r=6."""
+    from pde_tpu.models.flow_nd import flow_nd
+    from pde_tpu.models.disparity import disparity_nd
+
+    img = (rng.random((40, 48)) * 255).astype(np.float32)
+    shifted = np.roll(img, 1, axis=1)
+
+    u1, v1 = flow_nd(img, shifted, "grad", "none")
+    u2, v2 = flow_nd(img, shifted, "grad", "none", warp_window=6)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-3)
+
+    d1 = disparity_nd(img, shifted, "grad", "none")
+    d2 = disparity_nd(img, shifted, "grad", "none", warp_window=6)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-3)
+
+
 def test_flow_nd_sequence_matches_pairs(rng):
     """The one-dispatch video-clip path (lax.scan over pairs) must equal
     per-pair flow_nd on every consecutive pair."""

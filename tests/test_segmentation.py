@@ -124,14 +124,21 @@ def _fixture():
     return np.load(path)
 
 
+# Central half-res crop of the regenerated Tsukuba map (head + lamp +
+# table surfaces). Round 4's full half-res runs blew the review's time
+# budget (>580 s); this crop keeps the same real-data character at a
+# verifiable cost (VERDICT r4 #3).
+_CROP = np.s_[40:120, 50:150]
+
+
 @pytest.mark.slow
 def test_segmentation_dense_real_disparity():
     """Dense segmentation of the regenerated Tsukuba disparity map
     (runme.m:158 equivalent): must find several surfaces that cover most
     of the frame with sane planar fits."""
     maps = _fixture()
-    dd = maps["dd"][::2, ::2]  # half-res: keeps the CPU suite tractable
-    phi, seg, sparam = disp_segmentation(dd, seeds=6)
+    dd = maps["dd"][::2, ::2][_CROP]
+    phi, seg, sparam = disp_segmentation(dd, seeds=4)
     seg = np.asarray(seg)
     n_seg = int(np.asarray(phi).shape[0])
     assert n_seg >= 2, "expected at least two surfaces on Tsukuba"
@@ -148,10 +155,66 @@ def test_segmentation_dense_real_disparity():
 def test_segmentation_sparse_real_disparity():
     """Sparse variant on the NaN-holed map (DispSegmentationSparse.m)."""
     maps = _fixture()
-    ds = maps["ds"][::2, ::2]
-    phi, seg, sparam = disp_segmentation_sparse(ds, seeds=4)
+    ds = maps["ds"][::2, ::2][_CROP]
+    phi, seg, sparam = disp_segmentation_sparse(ds, seeds=3)
     assert np.asarray(phi).shape[0] >= 1
     assert np.isfinite(np.asarray(sparam)).all()
+
+
+@pytest.mark.slow
+def test_segmentation_statistical_parity_vs_oracle():
+    """SURVEY 7.3 #5: the engine's segmentation statistics must overlap
+    the literal NumPy oracle of DispSegmentation.m (tests/oracle_seg.py)
+    distributionally — segment count, coverage, per-segment surface-fit
+    residual quantiles — on a real-fixture crop over >= 3 RNG seeds
+    (RANSAC randomness differs by design: jax.random vs libc rand,
+    ransac.c:230-234, so parity is statistical, not bitwise)."""
+    import oracle_seg
+
+    maps = _fixture()
+    d = maps["dd"][::2, ::2][50:110, 60:140]  # 60x80 central crop
+    kw = dict(seeds=3, seed_iterations=8, rc_iterations=8, rc_iterations2=6,
+              ransac_first=300, ransac_rest=50)
+
+    def stats(phi, models):
+        phi = np.asarray(phi)
+        models = np.asarray(models)
+        cover = (phi > 0).any(axis=0).mean() if phi.shape[0] else 0.0
+        feats = oracle_seg._features(*d.shape, 1)
+        med_resid = []
+        for p_, m_ in zip(phi, models):
+            mask = p_ > 0
+            if mask.sum() < 10:
+                continue
+            r = np.abs(feats[mask] @ np.asarray(m_, np.float64)
+                       - np.nan_to_num(d)[mask])
+            med_resid.append(np.median(r))
+        return phi.shape[0], cover, med_resid
+
+    o_counts, o_covers, o_resids = [], [], []
+    for s in range(3):
+        po, so = oracle_seg.disp_segmentation_np(
+            d, **kw, rng=np.random.default_rng(s))
+        n, c, r = stats(po, so)
+        o_counts.append(n)
+        o_covers.append(c)
+        o_resids += r
+
+    e_counts, e_covers, e_resids = [], [], []
+    for s in range(3):
+        pe, _, spe = disp_segmentation(d, rng_seed=s, **kw)
+        n, c, r = stats(pe, spe)
+        e_counts.append(n)
+        e_covers.append(c)
+        e_resids += r
+
+    assert abs(np.mean(e_counts) - np.mean(o_counts)) <= 2.0, \
+        (e_counts, o_counts)
+    assert abs(np.mean(e_covers) - np.mean(o_covers)) <= 0.15, \
+        (e_covers, o_covers)
+    # pooled per-segment median surface residuals in the same range
+    em, om = np.median(e_resids), np.median(o_resids)
+    assert 0.4 * om <= em <= 2.5 * om, (e_resids, o_resids)
 
 
 def test_disp_segmentation_checkpoint_resume(rng, tmp_path, monkeypatch):
