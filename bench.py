@@ -378,6 +378,42 @@ def main():
         marg = (clip(5) - clip(2)) / 3.0
         emit(f"flow_nd end-to-end, Yosemite {tuple(y0.shape)} (on-device marginal, video-clip scan)",
              1.0 / marg, "frames/s", (base_e2e / marg) if base_e2e > 0 else 0.0)
+
+        # gather-free windowed warp (ops/warp.warp_window, radius 8 —
+        # exact on Yosemite whose |flow| < 5): same pipeline, the
+        # serialized 2D gathers replaced by shift-add selects
+        from pde_tpu.models.flow_nd import FlowNDParams
+
+        pw = FlowNDParams(warp_window=8)
+
+        def e2e_w():
+            uo, vo = flow_nd_fused(y0, y1, "grad", "gradmag", pw)
+            _sync(uo)
+        e2e_w()
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            e2e_w()
+            best = min(best, time.perf_counter() - t0)
+        emit(f"flow_nd end-to-end, Yosemite {tuple(y0.shape)} (windowed shift-add warp r=8, fused, incl. tunnel)",
+             1.0 / best, "frames/s", (base_e2e / best) if base_e2e > 0 else 0.0)
+
+        def clip_w(t):
+            frames = jnp.stack([y0 if i % 2 == 0 else y1 for i in range(t)])
+            def run():
+                us, vs = flow_nd_sequence(frames, "grad", "gradmag", pw)
+                _sync(us)
+            run()
+            bb = float("inf")
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                run()
+                bb = min(bb, time.perf_counter() - t0)
+            return bb
+
+        marg_w = (clip_w(5) - clip_w(2)) / 3.0
+        emit(f"flow_nd end-to-end, Yosemite {tuple(y0.shape)} (windowed warp r=8, on-device marginal)",
+             1.0 / marg_w, "frames/s", (base_e2e / marg_w) if base_e2e > 0 else 0.0)
     except Exception as e:
         print(f"# e2e failed: {e!r}", flush=True)
 

@@ -240,6 +240,36 @@ def test_fused_wrappers_match_per_level(rng):
     np.testing.assert_allclose(np.asarray(f1v), np.asarray(f2v), atol=1e-3)
 
 
+def test_flagship_oracle_parity_smoke(rng):
+    """Fast-tier safety net (ADVICE r4): tiny-resolution pointwise parity
+    of the flagship warping-flow and disparity models against the literal
+    NumPy oracles, so a core-numerics regression cannot merge with a
+    plain ``pytest`` run (the full-resolution goldens are slow-tier)."""
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from oracle import flow_nd_oracle, disp_nd_oracle
+
+    it0, it1 = _shifted_pair(rng, 36, 44, dx=1.0)
+    u, v = flow_nd(it0, it1, "grad", "none", firstLoop=2, secondLoop=2)
+    uo, vo = flow_nd_oracle(np.asarray(it0, np.float64),
+                            np.asarray(it1, np.float64), "grad", "none",
+                            first_loop=2, second_loop=2, solver=1)
+    aee = float(np.mean(np.hypot(np.asarray(u) - uo, np.asarray(v) - vo)))
+    assert aee < 0.05, aee
+
+    d = disparity_nd(it0, it1, "grad", "none", firstLoop=2, secondLoop=2)
+    do = disp_nd_oracle(np.asarray(it0, np.float64),
+                        np.asarray(it1, np.float64), "grad", "none",
+                        first_loop=2, second_loop=2, solver=1)
+    # the engine's border-inclusive red-black and the oracle's
+    # interior+replicate sweep differ more at these partially-converged
+    # reduced counts (full-count parity is the slow-tier golden's job);
+    # the bound still catches any gross numerics regression
+    err = float(np.mean(np.abs(np.asarray(d) - do)))
+    assert err < 0.12, err
+
+
 def test_warp_window_models_match_gather_path(rng):
     """flow_nd / disparity_nd with a windowed shift-add warp
     (warp_window=r) must reproduce the gather-warp results wherever the
