@@ -239,8 +239,9 @@ def main():
         jax.profiler.stop_trace()
         print(f"# profiler trace written to {trace_dir}", flush=True)
     tiled_rate = H * W / dt / 1e6
+    variant = "double-buffered DMA" if dt_db < dt_ser else "serial DMA"
     headline = ("llin4 flow SOR sweep, Pallas tiled kernel (1024x1024, "
-                "sustained; temporal blocking k=4, double-buffered DMA)")
+                f"sustained; temporal blocking k=4, best variant: {variant})")
     emit(headline, tiled_rate, "Mpix-iters/s", tiled_rate / base)
 
     # bandwidth accounting: the stripe engine moves (13 reads + 2 writes)

@@ -11,12 +11,14 @@ they are not reported as scaling numbers. Instead, for each image size
 the same sharded sweep runs twice — once with the real ppermute halo
 exchange, once with a communication-free local pad of identical shape and
 arithmetic (parallel/halo.halo_local) — and the reported metric is their
-ratio: the measured multiplicative cost of the collectives alone.
-1.0 = free communication; the ratio should fall toward 1.0 as the image
-grows and the 2k-px halo strips shrink relative to the tile interior
-(the same trend a real ICI slice shows). The absolute tiled/single ratio
-is emitted once, clearly labelled as a time-slicing artifact, for
-round-over-round trend only.
+ratio: the measured multiplicative cost of the collectives alone
+(1.0 = free communication). Caveat on the size trend: on a real ICI
+slice the per-message latency amortises and the ratio falls with image
+size; on this virtual CPU mesh the strips move by memcpy, whose cost
+grows with the strip bytes, so the ratio need not fall (measured r5:
+~1.4x at 1024^2, ~1.7x at 2048^2; 512^2 is noise-dominated). The
+absolute tiled/single ratio is emitted once, clearly labelled as a
+time-slicing artifact, for round-over-round trend only.
 
 Prints one JSON line per measurement. vs_baseline repeats the measured
 ratio (there is no external baseline for these lines — the reference is
