@@ -134,7 +134,7 @@ def _family_e2e_lines():
 
     here = os.path.dirname(os.path.abspath(__file__))
     fams = ["flow_fmg", "flow_ad", "tv4", "tv8", "gac_a", "gac_b",
-            "disparity_sym", "disparity"]
+            "disparity_sym", "disparity", "segmentation"]
     for fam in fams:
         try:
             r = subprocess.run(

@@ -149,7 +149,6 @@ def _disp_level(u, i1t0, i1t1, i2t0, i2t1, us_ap, as_diff, p: "DisparityParams",
     return u
 
 
-@partial(jax.jit, static_argnames=("fst_term", "snd_term", "params"))
 def disparity_nd_fused(il, ir, fst_term: str = "grad", snd_term: str = "gradmag",
                        params: DisparityParams | None = None):
     """Whole-frame fused variant: the entire coarse-to-fine disparity
@@ -179,6 +178,23 @@ def disparity_nd_fused(il, ir, fst_term: str = "grad", snd_term: str = "gradmag"
     ``disparity_nd_split(..., n_parts=99)`` — one fused program per
     pyramid level, measured 115x the single-core oracle end-to-end
     through this environment's TPU tunnel (BENCH r5)."""
+    if jax.default_backend() not in ("cpu",):
+        import warnings
+
+        p = params or DisparityParams()
+        warnings.warn(
+            "disparity_nd_fused on a TPU backend: programs fusing >=2 "
+            "pyramid levels of this pipeline can crash the TPU runtime "
+            f"(open XLA defect; firstLoop={p.firstLoop}, "
+            f"secondLoop={p.secondLoop} — the reference defaults are a "
+            "known-crashing combination). Use disparity_nd_split(..., "
+            "n_parts=99) (one fused program per level) in production.",
+            RuntimeWarning, stacklevel=2)
+    return _disparity_nd_fused_jit(il, ir, fst_term, snd_term, params)
+
+
+@partial(jax.jit, static_argnames=("fst_term", "snd_term", "params"))
+def _disparity_nd_fused_jit(il, ir, fst_term, snd_term, params):
     from pde_tpu.kernels.dispatch import xla_solvers
 
     with xla_solvers():

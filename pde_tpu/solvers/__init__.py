@@ -7,7 +7,10 @@ from pde_tpu.solvers.sor import (
     sor_disp_llin4,
     sor_disp_llin_sym4,
     residuals_elin4,
+    residuals_llin4,
+    residuals_disp_llin4,
     lhs_elin4,
+    lhs_llin4,
 )
 from pde_tpu.solvers.tdma import thomas_solve, alr_pde4, alr_flow_llin4, alr_flow_elin4
 from pde_tpu.solvers.krylov import (

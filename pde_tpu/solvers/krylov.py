@@ -46,7 +46,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from pde_tpu.core.grid import shift_w, shift_e, shift_n, shift_s
-from pde_tpu.solvers.tdma import thomas_solve, _edge_zero, _zero_diag_borders
+from pde_tpu.solvers.tdma import (_edge_zero, _zero_diag_borders,
+                                  line_factors, line_solve, scatter_lines)
 
 
 def _edge_zeroed4(ww, wn, we, ws):
@@ -109,44 +110,47 @@ def _pcg(apply_a, precond, b, x0, iters: int):
 # ---------------------------------------------------------------------------
 
 
-def _line_sweep(z, rhs, diag, wz4, parity: int, vertical: bool, diag_flux=None):
-    """Solve all lines of one parity implicitly; others keep their value.
+def _zebra_factors(diags, wz4s):
+    """Per-field (vertical, horizontal) parity-line factorisations.
 
-    z: current correction field; rhs: CG residual for this field;
-    diag: full line diagonal (edge-zeroed weight sum + data diag);
-    wz4: edge-zeroed (ww, wn, we, ws); diag_flux(z): optional 8-neighbour
-    diagonal coupling added to the rhs (lagged).
+    The preconditioner's line systems are fixed for the whole CG solve
+    (diag and weights never change), so the tridiagonal elimination is
+    computed ONCE here and only the RHS d-pass replays inside the CG
+    loop — and only on the parity lines the zebra pass keeps
+    (solvers/tdma.line_factors). Hoisted explicitly rather than trusting
+    while-loop LICM.
     """
-    ww, wn, we, ws = wz4
-    h, w = z.shape[-2:]
-    extra = diag_flux(z) if diag_flux is not None else 0.0
-    if vertical:
-        d = rhs + ww * shift_w(z) + we * shift_e(z) + extra
-        sol = thomas_solve(-wn, diag, -ws, d, axis=-2)
-        sel = (jnp.arange(w)[None, :] % 2) == parity
-    else:
-        d = rhs + wn * shift_n(z) + ws * shift_s(z) + extra
-        sol = thomas_solve(-ww, diag, -we, d, axis=-1)
-        sel = ((jnp.arange(h) % 2)[:, None]) == parity
-    return jnp.where(sel, sol, z)
+    facs = []
+    for dg, (ww, wn, we, ws) in zip(diags, wz4s):
+        facs.append((line_factors(-wn, dg, -ws, True),
+                     line_factors(-ww, dg, -we, False)))
+    return facs
 
 
-def _zebra_adi(rhs_fns, diags, wz4s, n: int, diag_fluxes=None):
+def _zebra_adi(rhs_fns, diags, facs, wz4s, n: int, diag_fluxes=None):
     """One symmetrized zebra-ADI pass over ``n`` coupled fields.
 
     rhs_fns[k](z_tuple) -> rhs for field k given current corrections
     (this is where the CG residual and any inter-field coupling enter);
-    diags[k]: line diagonals; wz4s[k]: edge-zeroed weights.
-    Forward order: field 0..n-1 columns (parity 0,1), then rows; the
-    reversed pass mirrors it for a symmetric preconditioner.
+    diags[k]: line diagonals (shape donors for the corrections);
+    facs[k]: prebuilt :func:`_zebra_factors` entry; wz4s[k]: edge-zeroed
+    weights. Forward order: field 0..n-1 columns (parity 0,1), then rows;
+    the reversed pass mirrors it for a symmetric preconditioner.
     """
     if diag_fluxes is None:
         diag_fluxes = [None] * n
     z = tuple(jnp.zeros_like(d) for d in diags)
 
     def pas(z, k, parity, vertical):
-        zk = _line_sweep(z[k], rhs_fns[k](z), diags[k], wz4s[k],
-                         parity, vertical, diag_fluxes[k])
+        ww, wn, we, ws = wz4s[k]
+        zk = z[k]
+        extra = diag_fluxes[k](zk) if diag_fluxes[k] is not None else 0.0
+        if vertical:
+            d = rhs_fns[k](z) + ww * shift_w(zk) + we * shift_e(zk) + extra
+        else:
+            d = rhs_fns[k](z) + wn * shift_n(zk) + ws * shift_s(zk) + extra
+        sol = line_solve(facs[k][0 if vertical else 1], d, parity, vertical)
+        zk = scatter_lines(zk, sol, parity, vertical)
         return z[:k] + (zk,) + z[k + 1:]
 
     steps = [(k, p, True) for k in range(n) for p in (0, 1)]
@@ -207,12 +211,16 @@ def _flow_pcg(u, v, du0, dv0, m, cu, cv, duc, dvc, w4, w_diag, iters, *, late):
             av = av - dflux(xv)
         return au, av
 
+    wz4 = (ww, wn, we, ws)
+    facs = _zebra_factors((diag_u, diag_v), (wz4, wz4))
+
     def precond(r):
         ru, rv = r
         return _zebra_adi(
             (lambda z: ru - m_eff * z[1], lambda z: rv - m_eff * z[0]),
             (diag_u, diag_v),
-            ((ww, wn, we, ws), (ww, wn, we, ws)),
+            facs,
+            (wz4, wz4),
             2,
             (dflux, dflux) if dflux is not None else None,
         )
@@ -275,8 +283,11 @@ def _scalar_pcg(u, du0, cu, duc, w4, iters, *, late=True, trace=None, b_in=None)
         (xu,) = x
         return (diag * xu - _nbr4(xu, ww, wn, we, ws),)
 
+    wz4 = (ww, wn, we, ws)
+    facs = _zebra_factors((diag,), (wz4,))
+
     def precond(r):
-        return _zebra_adi((lambda z: r[0],), (diag,), ((ww, wn, we, ws),), 1)
+        return _zebra_adi((lambda z: r[0],), (diag,), facs, (wz4,), 1)
 
     return _pcg(apply_a, precond, (b,), (du0,), iters)[0]
 
@@ -319,8 +330,11 @@ def pcg_pde8(x, trace, b, ww, wnw, wn, wne, we, wse, ws, wsw,
         (xu,) = xs
         return (diag * xu - _nbr4(xu, ww, wn, we, ws) - dflux(xu),)
 
+    wz4 = (ww, wn, we, ws)
+    facs = _zebra_factors((diag,), (wz4,))
+
     def precond(r):
-        return _zebra_adi((lambda z: r[0],), (diag,), ((ww, wn, we, ws),), 1,
+        return _zebra_adi((lambda z: r[0],), (diag,), facs, (wz4,), 1,
                           (dflux,))
 
     return _pcg(apply_a, precond, (b,), (x,), iters)[0]

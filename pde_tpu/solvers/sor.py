@@ -336,6 +336,26 @@ def residuals_disp_llin4(u, du, cu, duc, ww, wn, we, ws):
 
 
 @jax.jit
+def lhs_llin4(u, v, du, dv, m, duc, dvc, ww, wn, we, ws):
+    """A·x for the late-linearisation system at increment state (dU, dV)
+    (cf. LHS_llin4_2d, opticalflowSolvers.c:923-1045, compiled as the
+    Oflow_lhs_llin4_2d gateway): AU = M·dV − Σ w_k (dU_k + U_k − U_c)
+    + (Du + Σw)·dU; NaN Du/Dv drops both the coupling and the data
+    diagonal. Border-replicated. Unused by the shipped reference drivers
+    (buildAll.m:6 compiles it but nothing calls it) — provided for
+    completeness parity and as the matvec for a future llin multigrid."""
+    wsum = ww + wn + we + ws
+    nu = _nbr_sum4(du + u, ww, wn, we, ws) - u * wsum
+    nv = _nbr_sum4(dv + v, ww, wn, we, ws) - v * wsum
+    m0 = jnp.nan_to_num(m)
+    au_data = m0 * dv - nu + (jnp.nan_to_num(duc) + wsum) * du
+    av_data = m0 * du - nv + (jnp.nan_to_num(dvc) + wsum) * dv
+    au = jnp.where(jnp.isnan(duc), -nu + wsum * du, au_data)
+    av = jnp.where(jnp.isnan(dvc), -nv + wsum * dv, av_data)
+    return replicate_border(au), replicate_border(av)
+
+
+@jax.jit
 def lhs_elin4(u, v, m, duc, dvc, ww, wn, we, ws):
     """A·x for the elin4 system (cf. LHS_elin4_2d,
     opticalflowSolvers.c:387-496), border-replicated."""

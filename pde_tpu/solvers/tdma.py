@@ -148,6 +148,177 @@ def _cr_level(a, b, c, d):
     return jnp.stack([xe, xo], 1).reshape((-1,) + xe.shape[1:])
 
 
+class TridiagFactor:
+    """Opaque reusable elimination of a tridiagonal (a, b, c).
+
+    The zebra/ADI solvers apply the SAME line systems to many right-hand
+    sides (every CG iteration, every ALR sweep: the coefficients are
+    fixed for the whole solver call, only the RHS changes). Factoring
+    once and replaying only the d-pass removes ~2/3 of the flops and all
+    of the divides from the hot path — the classic "factorize once,
+    solve many" restructure, applied to cyclic reduction on TPU and to
+    the Thomas scan on CPU. Same elimination order as thomas_solve_cr /
+    thomas_solve_scan (the CR path trades per-solve divides for
+    precomputed reciprocals: ~1 ulp relative difference).
+    """
+
+    __slots__ = ("method", "levels", "base", "axis_len", "cp", "denom", "a")
+
+    def __init__(self, method):
+        self.method = method
+        self.levels = []
+        self.base = None
+
+
+def tridiag_factor(a, b, c, axis: int = -2, method: str | None = None):
+    """Precompute the elimination of tridiagonal systems along ``axis``.
+
+    Same contract as :func:`thomas_solve` (a[0]/c[-1] ignored, systems
+    independent over the other axes); returns a :class:`TridiagFactor`
+    consumed by :func:`tridiag_solve`. Dispatches like thomas_solve:
+    cyclic reduction off-CPU, sequential Thomas scan on CPU (``method``
+    in {"cr", "scan"} overrides, used by tests).
+    """
+    a = jnp.moveaxis(a, axis, 0)
+    b = jnp.moveaxis(b, axis, 0)
+    c = jnp.moveaxis(c, axis, 0)
+    zero_row = jnp.zeros_like(a[:1])
+    a = jnp.concatenate([zero_row, a[1:]], 0)
+    c = jnp.concatenate([c[:-1], zero_row], 0)
+    if method is None:
+        method = "scan" if jax.default_backend() == "cpu" else "cr"
+    if method == "cr":
+        fac = TridiagFactor("cr")
+        while a.shape[0] > 2:
+            h = a.shape[0]
+            if h % 2 == 1:
+                a = jnp.concatenate([a, jnp.zeros_like(a[:1])], 0)
+                b = jnp.concatenate([b, jnp.ones_like(b[:1])], 0)
+                c = jnp.concatenate([c, jnp.zeros_like(c[:1])], 0)
+                fac.levels.append(("pad", h))
+                continue
+            ae, be, ce = a[0::2], b[0::2], c[0::2]
+            ao, bo, co = a[1::2], b[1::2], c[1::2]
+            bprev = jnp.concatenate([jnp.ones_like(bo[:1]), bo[:-1]], 0)
+            cprev = jnp.concatenate([jnp.zeros_like(co[:1]), co[:-1]], 0)
+            aprev = jnp.concatenate([jnp.zeros_like(ao[:1]), ao[:-1]], 0)
+            alpha = ae / bprev
+            gamma = ce / bo
+            a2 = -alpha * aprev
+            c2 = -gamma * co
+            b2 = be - alpha * cprev - gamma * ao
+            fac.levels.append(("reduce", alpha, gamma, ao, co, 1.0 / bo))
+            a, b, c = a2, b2, c2
+        if a.shape[0] == 1:
+            fac.base = ("b1", 1.0 / b)
+        else:
+            det = b[0] * b[1] - c[0] * a[1]
+            fac.base = ("b2", b[0], b[1], a[1], c[0], 1.0 / det)
+        return fac
+
+    fac = TridiagFactor("scan")
+
+    def fwd(cp_prev, inp):
+        a_i, b_i, c_i = inp
+        denom = 1.0 / (b_i - cp_prev * a_i)
+        cp = c_i * denom
+        return cp, (cp, denom)
+
+    _, (cp, denom) = lax.scan(fwd, jnp.zeros_like(b[0]), (a, b, c))
+    fac.cp, fac.denom, fac.a = cp, denom, a
+    return fac
+
+
+def tridiag_solve(fac: TridiagFactor, d, axis: int = -2):
+    """Solve with a precomputed :func:`tridiag_factor` for a new RHS."""
+    d = jnp.moveaxis(d, axis, 0)
+    if fac.method == "cr":
+        stack = []
+        for lvl in fac.levels:
+            if lvl[0] == "pad":
+                d = jnp.concatenate([d, jnp.zeros_like(d[:1])], 0)
+                stack.append(("pad", lvl[1]))
+                continue
+            _, alpha, gamma, ao, co, inv_bo = lvl
+            de, do_ = d[0::2], d[1::2]
+            dprev = jnp.concatenate([jnp.zeros_like(do_[:1]), do_[:-1]], 0)
+            stack.append(("reduce", do_, ao, co, inv_bo))
+            d = de - alpha * dprev - gamma * do_
+        kind = fac.base[0]
+        if kind == "b1":
+            x = d * fac.base[1]
+        else:
+            _, b0, b1, a1, c0, inv_det = fac.base
+            x0 = (d[0] * b1 - c0 * d[1]) * inv_det
+            x1 = (b0 * d[1] - d[0] * a1) * inv_det
+            x = jnp.stack([x0, x1], 0)
+        for lvl in reversed(stack):
+            if lvl[0] == "pad":
+                x = x[: lvl[1]]
+                continue
+            _, do_, ao, co, inv_bo = lvl
+            xnext = jnp.concatenate([x[1:], jnp.zeros_like(x[:1])], 0)
+            xo = (do_ - ao * x - co * xnext) * inv_bo
+            x = jnp.stack([x, xo], 1).reshape((-1,) + x.shape[1:])
+        return jnp.moveaxis(x, 0, axis)
+
+    def dfwd(dp_prev, inp):
+        a_i, denom_i, d_i = inp
+        dp = (d_i - dp_prev * a_i) * denom_i
+        return dp, dp
+
+    _, dp = lax.scan(dfwd, jnp.zeros_like(d[0]), (fac.a, fac.denom, d))
+
+    def bwd(x_next, inp):
+        cp_i, dp_i = inp
+        x = dp_i - cp_i * x_next
+        return x, x
+
+    _, xs = lax.scan(bwd, jnp.zeros_like(d[0]), (fac.cp, dp), reverse=True)
+    return jnp.moveaxis(xs, 0, axis)
+
+
+def slice_lines(x, parity: int, vertical: bool):
+    """The lines of one zebra parity: columns ``parity::2`` (vertical
+    solves) or rows ``parity::2`` (horizontal)."""
+    return x[..., parity::2] if vertical else x[..., parity::2, :]
+
+
+def scatter_lines(x, val, parity: int, vertical: bool):
+    """Write ``val`` back into the parity lines of ``x``."""
+    if vertical:
+        return x.at[..., parity::2].set(val)
+    return x.at[..., parity::2, :].set(val)
+
+
+def line_factors(a, b, c, vertical: bool):
+    """Per-parity factors for zebra line solves.
+
+    A zebra half-pass only keeps the solution on lines of one parity —
+    solving the other half is pure waste. Factor the two half-width
+    line systems once; every sweep then slices its RHS to the parity
+    lines, replays the d-pass, and scatters back (identical per-line
+    arithmetic to the full-width solve: lines are independent systems).
+    """
+    axis = -2 if vertical else -1
+    return tuple(
+        tridiag_factor(
+            slice_lines(a, p, vertical),
+            slice_lines(b, p, vertical),
+            slice_lines(c, p, vertical),
+            axis=axis,
+        )
+        for p in (0, 1)
+    )
+
+
+def line_solve(facs, d_full, parity: int, vertical: bool):
+    """Solve the parity lines given full-field RHS ``d_full``."""
+    axis = -2 if vertical else -1
+    return tridiag_solve(facs[parity], slice_lines(d_full, parity, vertical),
+                         axis=axis)
+
+
 def thomas_solve_scan(a, b, c, d, axis: int = -2):
     """Reference lax.scan implementation (used on CPU and as the Pallas
     kernel's parity oracle in tests)."""
@@ -183,42 +354,60 @@ def _edge_zero(w, axis, side):
     return w.at[tuple(idx)].set(0.0)
 
 
-def _line_pass_llin(f, df, other_rhs, cu, duc, ww, wn, we, ws, omega, parity, vertical):
-    """One zebra half-pass of the llin4 line relaxation for one field.
+class _LlinPlan:
+    """Loop-invariant pieces of one field's llin zebra relaxation.
 
-    f: frozen base field (U); df: current increment; other_rhs: Cu - M*dV
-    style data RHS (with NaN where data invalid); returns updated df.
+    All four weights are edge-zeroed as in the reference's line routines:
+    the west/east/north/south specialisations drop the out-facing term
+    from both the diagonal and the RHS (e.g. westColumn_llin4,
+    opticalflowSolvers.c:2415-2520: b = wS+wE at the NW corner). The
+    line diagonal ``Σw + data``, the base-field flux ``Σ w_z (f_z − f)``,
+    the masked data RHS, and the tridiagonal factorisations are all
+    fixed for the whole solver call — only the increment lag changes per
+    sweep, so each zebra half-pass replays just the RHS d-pass on the
+    parity lines (:func:`line_factors`).
     """
-    h, w = f.shape[-2:]
-    # all four weights are edge-zeroed in the reference's line routines:
-    # west/east/north/south specialisations drop the out-facing term from
-    # both the diagonal and the RHS (e.g. westColumn_llin4,
-    # opticalflowSolvers.c:2415-2520: b = wS+wE at the NW corner).
-    wn_l = _edge_zero(wn, -2, "first")
-    ws_l = _edge_zero(ws, -2, "last")
-    ww_l = _edge_zero(ww, -1, "first")
-    we_l = _edge_zero(we, -1, "last")
-    b = wn_l + ws_l + ww_l + we_l
-    if vertical:
-        # solve along rows (axis -2); perpendicular neighbours are W/E
-        perp = ww_l * (shift_w(f) - f + shift_w(df)) + we_l * (shift_e(f) - f + shift_e(df))
-        along = wn_l * (shift_n(f) - f) + ws_l * (shift_s(f) - f)
-        a, c = -wn_l, -ws_l
-        axis = -2
-        lines = jnp.arange(w)[None, :] % 2
-    else:
-        perp = wn_l * (shift_n(f) - f + shift_n(df)) + ws_l * (shift_s(f) - f + shift_s(df))
-        along = ww_l * (shift_w(f) - f) + we_l * (shift_e(f) - f)
-        a, c = -ww_l, -we_l
-        axis = -1
-        lines = (jnp.arange(h) % 2)[:, None]
 
-    valid = ~jnp.isnan(cu)
-    b = b + jnp.where(valid, jnp.nan_to_num(duc), 0.0)
-    d = perp + along + jnp.where(valid, jnp.nan_to_num(other_rhs), 0.0)
-    x = thomas_solve(a, b, c, d, axis=axis)
-    blended = omega * x + (1.0 - omega) * df
-    return jnp.where(lines == parity, blended, df)
+    __slots__ = ("w4", "base", "mu", "fv", "fh", "omega")
+
+    def __init__(self, f, cuf, ducf, m0, w4_edge, wsum, omega, extra_b=0.0):
+        ww_l, wn_l, we_l, ws_l = w4_edge
+        self.w4 = w4_edge
+        self.omega = omega
+        valid = ~jnp.isnan(cuf)
+        b = wsum + jnp.where(valid, jnp.nan_to_num(ducf), 0.0) + extra_b
+        flux = (
+            ww_l * (shift_w(f) - f)
+            + wn_l * (shift_n(f) - f)
+            + we_l * (shift_e(f) - f)
+            + ws_l * (shift_s(f) - f)
+        )
+        self.base = flux + jnp.where(valid, jnp.nan_to_num(cuf), 0.0)
+        self.mu = None if m0 is None else jnp.where(valid, m0, 0.0)
+        self.fv = line_factors(-wn_l, b, -ws_l, True)
+        self.fh = line_factors(-ww_l, b, -we_l, False)
+
+    def rhs_lag(self, df, vertical):
+        ww_l, wn_l, we_l, ws_l = self.w4
+        if vertical:
+            return ww_l * shift_w(df) + we_l * shift_e(df)
+        return wn_l * shift_n(df) + ws_l * shift_s(df)
+
+    def sweep(self, df, other, parity, vertical, extra=0.0):
+        d = self.base + self.rhs_lag(df, vertical) + extra
+        if self.mu is not None:
+            d = d - self.mu * other
+        x = line_solve(self.fv if vertical else self.fh, d, parity, vertical)
+        blended = self.omega * x + (1.0 - self.omega) * slice_lines(df, parity, vertical)
+        return scatter_lines(df, blended, parity, vertical)
+
+
+def _edge_zeroed_w4(ww, wn, we, ws):
+    ww_l = _edge_zero(ww, -1, "first")
+    wn_l = _edge_zero(wn, -2, "first")
+    we_l = _edge_zero(we, -1, "last")
+    ws_l = _edge_zero(ws, -2, "last")
+    return (ww_l, wn_l, we_l, ws_l), ww_l + wn_l + we_l + ws_l
 
 
 @partial(jax.jit, static_argnames=("iters",))
@@ -229,17 +418,20 @@ def alr_flow_llin4(u, v, du, dv, m, cu, cv, duc, dvc, ww, wn, we, ws, iters: int
     U columns, V columns, V rows, U rows.
     """
     m0 = jnp.nan_to_num(m)
+    w4, wsum = _edge_zeroed_w4(ww, wn, we, ws)
+    pu = _LlinPlan(u, cu, duc, m0, w4, wsum, omega)
+    pv = _LlinPlan(v, cv, dvc, m0, w4, wsum, omega)
 
     def body(_, state):
         du_, dv_ = state
         for par in (0, 1):
-            du_ = _line_pass_llin(u, du_, cu - m0 * dv_, cu, duc, ww, wn, we, ws, omega, par, True)
+            du_ = pu.sweep(du_, dv_, par, True)
         for par in (0, 1):
-            dv_ = _line_pass_llin(v, dv_, cv - m0 * du_, cv, dvc, ww, wn, we, ws, omega, par, True)
+            dv_ = pv.sweep(dv_, du_, par, True)
         for par in (0, 1):
-            dv_ = _line_pass_llin(v, dv_, cv - m0 * du_, cv, dvc, ww, wn, we, ws, omega, par, False)
+            dv_ = pv.sweep(dv_, du_, par, False)
         for par in (0, 1):
-            du_ = _line_pass_llin(u, du_, cu - m0 * dv_, cu, duc, ww, wn, we, ws, omega, par, False)
+            du_ = pu.sweep(du_, dv_, par, False)
         return du_, dv_
 
     return lax.fori_loop(0, iters, body, (du, dv))
@@ -254,54 +446,16 @@ def _zero_diag_borders(wnw, wne, wse, wsw):
     return wnw, wne, wse, wsw
 
 
-def _line_pass_llin8(f, df, other_rhs, cu, duc,
-                     ww, wnw, wn, wne, we, wse, ws, wsw, omega, parity, vertical):
-    """One zebra half-pass of the 8-neighbour llin line relaxation.
+def _diag_flux_fn(wnw_l, wne_l, wse_l, wsw_l):
+    def dflux(x):
+        return (
+            wnw_l * shift_n(shift_w(x))
+            + wne_l * shift_n(shift_e(x))
+            + wse_l * shift_s(shift_e(x))
+            + wsw_l * shift_s(shift_w(x))
+        )
 
-    Column solves keep N/S on the tridiagonal; W/E and the four diagonals
-    couple through the RHS with their current values (the reference's
-    llin8 line routines, opticalflowSolvers.c:3100-3913, do the same with
-    lexicographic lag instead of zebra lag).
-    """
-    h, w = f.shape[-2:]
-    wn_l = _edge_zero(wn, -2, "first")
-    ws_l = _edge_zero(ws, -2, "last")
-    ww_l = _edge_zero(ww, -1, "first")
-    we_l = _edge_zero(we, -1, "last")
-    wnw_l, wne_l, wse_l, wsw_l = _zero_diag_borders(wnw, wne, wse, wsw)
-    b = wn_l + ws_l + ww_l + we_l + wnw_l + wne_l + wse_l + wsw_l
-
-    def lagged(shift_fn, wgt):
-        return wgt * (shift_fn(f) - f + shift_fn(df))
-
-    def along(shift_fn, wgt):
-        return wgt * (shift_fn(f) - f)
-
-    diag = (
-        lagged(lambda x: shift_n(shift_w(x)), wnw_l)
-        + lagged(lambda x: shift_n(shift_e(x)), wne_l)
-        + lagged(lambda x: shift_s(shift_e(x)), wse_l)
-        + lagged(lambda x: shift_s(shift_w(x)), wsw_l)
-    )
-    if vertical:
-        perp = lagged(shift_w, ww_l) + lagged(shift_e, we_l)
-        line = along(shift_n, wn_l) + along(shift_s, ws_l)
-        a, c = -wn_l, -ws_l
-        axis = -2
-        lines = jnp.arange(w)[None, :] % 2
-    else:
-        perp = lagged(shift_n, wn_l) + lagged(shift_s, ws_l)
-        line = along(shift_w, ww_l) + along(shift_e, we_l)
-        a, c = -ww_l, -we_l
-        axis = -1
-        lines = (jnp.arange(h) % 2)[:, None]
-
-    valid = ~jnp.isnan(cu)
-    b = b + jnp.where(valid, jnp.nan_to_num(duc), 0.0)
-    d = perp + line + diag + jnp.where(valid, jnp.nan_to_num(other_rhs), 0.0)
-    x = thomas_solve(a, b, c, d, axis=axis)
-    blended = omega * x + (1.0 - omega) * df
-    return jnp.where(lines == parity, blended, df)
+    return dflux
 
 
 @partial(jax.jit, static_argnames=("iters",))
@@ -309,20 +463,36 @@ def alr_flow_llin8(u, v, du, dv, m, cu, cv, duc, dvc,
                    ww, wnw, wn, wne, we, wse, ws, wsw, iters: int, omega: float):
     """Zebra ALR for the 8-neighbour (anisotropic) flow pair
     (cf. GS_ALR_SOR_llin8_2d, opticalflowSolvers.c:1677-). Same sweep order
-    as the 4-neighbour variant: U cols, V cols, V rows, U rows."""
+    as the 4-neighbour variant: U cols, V cols, V rows, U rows. Column
+    solves keep N/S on the tridiagonal; W/E and the four diagonals couple
+    through the RHS with their current values (the reference's llin8 line
+    routines, opticalflowSolvers.c:3100-3913, do the same with
+    lexicographic lag instead of zebra lag)."""
     m0 = jnp.nan_to_num(m)
-    w8 = (ww, wnw, wn, wne, we, wse, ws, wsw)
+    w4, wsum4 = _edge_zeroed_w4(ww, wn, we, ws)
+    wnw_l, wne_l, wse_l, wsw_l = _zero_diag_borders(wnw, wne, wse, wsw)
+    dsum = wnw_l + wne_l + wse_l + wsw_l
+    dflux = _diag_flux_fn(wnw_l, wne_l, wse_l, wsw_l)
+
+    def diag_base(f):
+        # f-part of the lagged diagonal coupling: Σ w_d (f_d − f)
+        return dflux(f) - dsum * f
+
+    pu = _LlinPlan(u, cu, duc, m0, w4, wsum4, omega, extra_b=dsum)
+    pv = _LlinPlan(v, cv, dvc, m0, w4, wsum4, omega, extra_b=dsum)
+    pu.base = pu.base + diag_base(u)
+    pv.base = pv.base + diag_base(v)
 
     def body(_, state):
         du_, dv_ = state
         for par in (0, 1):
-            du_ = _line_pass_llin8(u, du_, cu - m0 * dv_, cu, duc, *w8, omega, par, True)
+            du_ = pu.sweep(du_, dv_, par, True, extra=dflux(du_))
         for par in (0, 1):
-            dv_ = _line_pass_llin8(v, dv_, cv - m0 * du_, cv, dvc, *w8, omega, par, True)
+            dv_ = pv.sweep(dv_, du_, par, True, extra=dflux(dv_))
         for par in (0, 1):
-            dv_ = _line_pass_llin8(v, dv_, cv - m0 * du_, cv, dvc, *w8, omega, par, False)
+            dv_ = pv.sweep(dv_, du_, par, False, extra=dflux(dv_))
         for par in (0, 1):
-            du_ = _line_pass_llin8(u, du_, cu - m0 * dv_, cu, duc, *w8, omega, par, False)
+            du_ = pu.sweep(du_, dv_, par, False, extra=dflux(du_))
         return du_, dv_
 
     return lax.fori_loop(0, iters, body, (du, dv))
@@ -334,38 +504,26 @@ def alr_pde8(x, trace, b, ww, wnw, wn, wne, we, wse, ws, wsw, iters: int, omega:
     pdeSolvers.c:344-408): lines keep N/S (or W/E) on the tridiagonal,
     all other neighbours couple through the RHS."""
     tr_nan = jnp.isnan(trace)
-    h, w = x.shape[-2:]
-    col_par = jnp.arange(w)[None, :] % 2
-    row_par = (jnp.arange(h) % 2)[:, None]
-
-    wn_l = _edge_zero(wn, -2, "first")
-    ws_l = _edge_zero(ws, -2, "last")
-    ww_l = _edge_zero(ww, -1, "first")
-    we_l = _edge_zero(we, -1, "last")
+    (ww_l, wn_l, we_l, ws_l), wsum4 = _edge_zeroed_w4(ww, wn, we, ws)
     wnw_l, wne_l, wse_l, wsw_l = _zero_diag_borders(wnw, wne, wse, wsw)
-    wsum = wn_l + ws_l + ww_l + we_l + wnw_l + wne_l + wse_l + wsw_l
+    wsum = wsum4 + wnw_l + wne_l + wse_l + wsw_l
     diag = jnp.where(tr_nan, wsum, jnp.nan_to_num(trace, nan=1.0))
     b_eff = jnp.where(tr_nan, 0.0, b)
-
-    def diag_flux(xc):
-        return (
-            wnw_l * shift_n(shift_w(xc))
-            + wne_l * shift_n(shift_e(xc))
-            + wse_l * shift_s(shift_e(xc))
-            + wsw_l * shift_s(shift_w(xc))
-        )
+    dflux = _diag_flux_fn(wnw_l, wne_l, wse_l, wsw_l)
+    fv = line_factors(-wn_l, diag, -ws_l, True)
+    fh = line_factors(-ww_l, diag, -we_l, False)
 
     def vpass(xc, parity):
-        d = b_eff + ww_l * shift_w(xc) + we_l * shift_e(xc) + diag_flux(xc)
-        sol = thomas_solve(-wn_l, diag, -ws_l, d, axis=-2)
-        blended = omega * sol + (1.0 - omega) * xc
-        return jnp.where(col_par == parity, blended, xc)
+        d = b_eff + ww_l * shift_w(xc) + we_l * shift_e(xc) + dflux(xc)
+        sol = line_solve(fv, d, parity, True)
+        blended = omega * sol + (1.0 - omega) * slice_lines(xc, parity, True)
+        return scatter_lines(xc, blended, parity, True)
 
     def hpass(xc, parity):
-        d = b_eff + wn_l * shift_n(xc) + ws_l * shift_s(xc) + diag_flux(xc)
-        sol = thomas_solve(-ww_l, diag, -we_l, d, axis=-1)
-        blended = omega * sol + (1.0 - omega) * xc
-        return jnp.where(row_par == parity, blended, xc)
+        d = b_eff + wn_l * shift_n(xc) + ws_l * shift_s(xc) + dflux(xc)
+        sol = line_solve(fh, d, parity, False)
+        blended = omega * sol + (1.0 - omega) * slice_lines(xc, parity, False)
+        return scatter_lines(xc, blended, parity, False)
 
     def body(_, xc):
         xc = vpass(xc, 0)
@@ -386,17 +544,20 @@ def alr_flow_elin4(u, v, m, cu, cv, duc, dvc, ww, wn, we, ws, iters: int, omega:
     """
     zero = jnp.zeros_like(u)
     m0 = jnp.nan_to_num(m)
+    w4, wsum = _edge_zeroed_w4(ww, wn, we, ws)
+    pu = _LlinPlan(zero, cu, duc, m0, w4, wsum, omega)
+    pv = _LlinPlan(zero, cv, dvc, m0, w4, wsum, omega)
 
     def body(_, state):
         u_, v_ = state
         for par in (0, 1):
-            u_ = _line_pass_llin(zero, u_, cu - m0 * v_, cu, duc, ww, wn, we, ws, omega, par, True)
+            u_ = pu.sweep(u_, v_, par, True)
         for par in (0, 1):
-            v_ = _line_pass_llin(zero, v_, cv - m0 * u_, cv, dvc, ww, wn, we, ws, omega, par, True)
+            v_ = pv.sweep(v_, u_, par, True)
         for par in (0, 1):
-            v_ = _line_pass_llin(zero, v_, cv - m0 * u_, cv, dvc, ww, wn, we, ws, omega, par, False)
+            v_ = pv.sweep(v_, u_, par, False)
         for par in (0, 1):
-            u_ = _line_pass_llin(zero, u_, cu - m0 * v_, cu, duc, ww, wn, we, ws, omega, par, False)
+            u_ = pu.sweep(u_, v_, par, False)
         return u_, v_
 
     return lax.fori_loop(0, iters, body, (u, v))
@@ -406,12 +567,14 @@ def alr_flow_elin4(u, v, m, cu, cv, duc, dvc, ww, wn, we, ws, iters: int, omega:
 def alr_disp_llin4(u, du, cu, duc, ww, wn, we, ws, iters: int, omega: float):
     """Zebra ALR for the scalar disparity increment (cf. disparitySolvers.c
     GS_ALR_SOR_llin4_2d:154-217: columns then rows)."""
+    w4, wsum = _edge_zeroed_w4(ww, wn, we, ws)
+    pu = _LlinPlan(u, cu, duc, None, w4, wsum, omega)
 
     def body(_, du_):
         for par in (0, 1):
-            du_ = _line_pass_llin(u, du_, cu, cu, duc, ww, wn, we, ws, omega, par, True)
+            du_ = pu.sweep(du_, None, par, True)
         for par in (0, 1):
-            du_ = _line_pass_llin(u, du_, cu, cu, duc, ww, wn, we, ws, omega, par, False)
+            du_ = pu.sweep(du_, None, par, False)
         return du_
 
     return lax.fori_loop(0, iters, body, du)
@@ -422,30 +585,25 @@ def alr_pde4(x, trace, b, ww, wn, we, ws, iters: int, omega: float):
     """Zebra ALR for the diagonal form (cf. GS_ALR_SOR_4_2d): lines use
     diag TRACE, off-diag -wN/-wS (or -wW/-wE), RHS B + perpendicular flux."""
     tr_nan = jnp.isnan(trace)
-    h, w = x.shape[-2:]
-    col_par = jnp.arange(w)[None, :] % 2
-    row_par = (jnp.arange(h) % 2)[:, None]
-
-    wn_l = _edge_zero(wn, -2, "first")
-    ws_l = _edge_zero(ws, -2, "last")
-    ww_l = _edge_zero(ww, -1, "first")
-    we_l = _edge_zero(we, -1, "last")
+    (ww_l, wn_l, we_l, ws_l), wsum = _edge_zeroed_w4(ww, wn, we, ws)
     # NaN TRACE -> pure diffusion: diag = edge-zeroed weight sum, B dropped
     # (TDMA_wcolumn_ALR_4, pdeSolvers.c:442-501)
-    diag = jnp.where(tr_nan, wn_l + ws_l + ww_l + we_l, jnp.nan_to_num(trace, nan=1.0))
+    diag = jnp.where(tr_nan, wsum, jnp.nan_to_num(trace, nan=1.0))
     b_eff = jnp.where(tr_nan, 0.0, b)
+    fv = line_factors(-wn_l, diag, -ws_l, True)
+    fh = line_factors(-ww_l, diag, -we_l, False)
 
     def vpass(xc, parity):
         d = b_eff + ww_l * shift_w(xc) + we_l * shift_e(xc)
-        sol = thomas_solve(-wn_l, diag, -ws_l, d, axis=-2)
-        blended = omega * sol + (1.0 - omega) * xc
-        return jnp.where(col_par == parity, blended, xc)
+        sol = line_solve(fv, d, parity, True)
+        blended = omega * sol + (1.0 - omega) * slice_lines(xc, parity, True)
+        return scatter_lines(xc, blended, parity, True)
 
     def hpass(xc, parity):
         d = b_eff + wn_l * shift_n(xc) + ws_l * shift_s(xc)
-        sol = thomas_solve(-ww_l, diag, -we_l, d, axis=-1)
-        blended = omega * sol + (1.0 - omega) * xc
-        return jnp.where(row_par == parity, blended, xc)
+        sol = line_solve(fh, d, parity, False)
+        blended = omega * sol + (1.0 - omega) * slice_lines(xc, parity, False)
+        return scatter_lines(xc, blended, parity, False)
 
     def body(_, xc):
         xc = vpass(xc, 0)

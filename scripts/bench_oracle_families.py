@@ -93,6 +93,19 @@ def main(only=None):
     record("gac_a_road", lambda: oracle.gac_oracle(road01, phi0, model="a"))
     record("gac_b_road", lambda: oracle.gac_oracle(road01, phi0, model="b"))
 
+    # segmentation: literal DispSegmentation.m port (tests/oracle_seg.py)
+    # on the regenerated Tsukuba disparity fixture, same half-res crop as
+    # the slow real-fixture test (tests/test_segmentation.py _CROP) so
+    # the engine line is apples-to-apples (runme.m:158)
+    fix = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures",
+                       "disparity_maps.npz")
+    if os.path.exists(fix):
+        import oracle_seg
+
+        dd = np.load(fix)["dd"][::2, ::2][40:120, 50:150]
+        record("seg_tsukuba_crop", lambda: oracle_seg.disp_segmentation_np(
+            np.asarray(dd, np.float64), seeds=4)[0])
+
 
 if __name__ == "__main__":
     main(set(sys.argv[1:]) or None)

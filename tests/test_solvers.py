@@ -336,3 +336,66 @@ def test_reinit_restores_distance_property():
     g = np.sqrt(gx**2 + gy**2)
     inner = np.abs(sdf) < 4
     assert np.abs(g[inner] - 1.0).mean() < 0.15
+
+
+def test_tridiag_factor_solve_matches_scan(rng):
+    """Factored replay (both methods) == direct Thomas scan; parity-line
+    solves == the corresponding lines of the full solve (the zebra fast
+    path reuses one factorisation across every sweep and parity)."""
+    from pde_tpu.solvers.tdma import (line_factors, line_solve, slice_lines,
+                                      thomas_solve_scan, tridiag_factor,
+                                      tridiag_solve)
+
+    for h in (7, 8, 64):
+        w = 13
+        a = -rng.random((h, w)).astype(np.float32)
+        c = -rng.random((h, w)).astype(np.float32)
+        b = (2.5 + np.abs(a) + np.abs(c)).astype(np.float32)
+        d = rng.standard_normal((h, w)).astype(np.float32)
+        ref = np.asarray(thomas_solve_scan(*map(jnp.asarray, (a, b, c, d)), axis=-2))
+        for method in ("scan", "cr"):
+            fac = tridiag_factor(*map(jnp.asarray, (a, b, c)), axis=-2,
+                                 method=method)
+            got = np.asarray(tridiag_solve(fac, jnp.asarray(d), axis=-2))
+            np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+
+    h, w = 21, 34
+    a = -rng.random((h, w)).astype(np.float32)
+    c = -rng.random((h, w)).astype(np.float32)
+    b = (2.5 + np.abs(a) + np.abs(c)).astype(np.float32)
+    d = rng.standard_normal((h, w)).astype(np.float32)
+    for vertical, axis in ((True, -2), (False, -1)):
+        ref = np.asarray(thomas_solve_scan(*map(jnp.asarray, (a, b, c, d)), axis=axis))
+        facs = line_factors(*map(jnp.asarray, (a, b, c)), vertical)
+        for p in (0, 1):
+            got = np.asarray(line_solve(facs, jnp.asarray(d), p, vertical))
+            want = np.asarray(slice_lines(jnp.asarray(ref), p, vertical))
+            np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_lhs_llin4_consistent_with_residuals(rng):
+    """r = b − A·x at the increment state: residuals_llin4 must equal
+    where(valid, Cu, 0) − lhs_llin4 pointwise (interior), for both valid
+    and NaN data pixels (LHS_llin4_2d vs Residuals_llin4_2d,
+    opticalflowSolvers.c:923-1045 / :766-918)."""
+    from pde_tpu.solvers.sor import lhs_llin4, residuals_llin4
+
+    h, w = 12, 14
+    mk = lambda: jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+    u, v, du, dv, m = mk(), mk(), mk(), mk(), mk() * 0.1
+    cu, cv = mk(), mk()
+    duc = jnp.abs(mk()) + 0.2
+    dvc = jnp.abs(mk()) + 0.2
+    nanmask = rng.random((h, w)) < 0.2
+    cu = jnp.where(jnp.asarray(nanmask), jnp.nan, cu)
+    duc = jnp.where(jnp.asarray(nanmask), jnp.nan, duc)
+    ww, wn, we, ws = (jnp.abs(mk()) for _ in range(4))
+
+    ru, rv = residuals_llin4(u, v, du, dv, m, cu, cv, duc, dvc, ww, wn, we, ws)
+    au, av = lhs_llin4(u, v, du, dv, m, duc, dvc, ww, wn, we, ws)
+    want_u = np.where(nanmask, 0.0, np.nan_to_num(np.asarray(cu))) - np.asarray(au)
+    want_v = np.asarray(cv) - np.asarray(av)
+    np.testing.assert_allclose(np.asarray(ru)[1:-1, 1:-1], want_u[1:-1, 1:-1],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rv)[1:-1, 1:-1], want_v[1:-1, 1:-1],
+                               rtol=1e-4, atol=1e-5)
