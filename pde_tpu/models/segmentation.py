@@ -150,6 +150,83 @@ def _seed_iter(key, phi, d, d_fit, include, h1eq, min_cov, gamma_scl, rcons, tau
     return phi, model, cov_raw, alive
 
 
+@partial(jax.jit, static_argnames=("shapes",))
+def _aa_chain(aa0, shapes):
+    """Pyramid of a mask/stack by successive bicubic downscales, as one
+    device program (the reference's per-level imresize loop, :66-91)."""
+    out = [aa0]
+    for s in shapes:
+        out.append(imresize(out[-1], s, "bicubic"))
+    return tuple(out)
+
+
+@partial(jax.jit, static_argnames=("riter0", "riter", "n_iters", "order",
+                                   "inlier_lt_100", "peel", "mask_init",
+                                   "bigcomp", "adjust_cov", "next_shape"))
+def _seed_stage(key, phi, d, d_fit, include, h1eq, min_cov, dead, gamma_scl,
+                rcons_vec, tau, riter0: int, riter: int, n_iters: int,
+                order: int, inlier_lt_100: bool, peel: bool,
+                mask_init: bool, bigcomp: bool, adjust_cov: bool,
+                next_shape):
+    """One pyramid stage of seed growth as ONE device program.
+
+    Rolls the reference's per-stage iteration loop
+    (DispSegmentation.m:300-394) into a lax.fori_loop so the host
+    dispatches once per stage instead of once per iteration — through a
+    remote-dispatch link (or any host), per-call overhead would
+    otherwise dominate this small-field pipeline. Folded in, under
+    static flags, are the stage's host-side epilogue/prologue steps so
+    the whole seed runs sync-free: the coarsest-stage seed-mask init
+    (:238-244, ``mask_init``), the mid-pyramid biggest-connected-
+    component pass (:282-298, ``bigcomp``), the mid-pyramid minimum-
+    variance re-estimate (:408-412 dense / Sparse.m:418-425,
+    ``adjust_cov`` — ``min_cov`` is carried as a device scalar), the
+    post-iterations SIG_emptysegment support check (:332-335, ``dead``
+    flag — a dead seed's phi passes through later stages unchanged via
+    the per-iteration alive gate, reproducing the reference's break
+    without a per-stage device->host sync), and the inter-stage bicubic
+    upscale (``next_shape``). ``peel`` runs iteration 0 separately with
+    the larger first-iteration RANSAC hypothesis count (RITER 2000 ->
+    100 schedule, :308-312); ``rcons_vec`` carries the consensus-
+    fraction ramp (:313-323) as data so it stays inside the rolled loop.
+    """
+    if mask_init:
+        phi = jnp.where(include, phi, -1.0)
+    if bigcomp:
+        big = biggest_component_mask(phi > 0)
+        phi = jnp.where(big, 5.0, -5.0)
+
+    last_cov = jnp.float32(0.0)
+    it0 = 0
+    if peel:
+        key, sub = jax.random.split(key)
+        phi, h1eq, last_cov, _ = _seed_iter(
+            sub, phi, d, d_fit, include, h1eq, min_cov, gamma_scl,
+            rcons_vec[0], tau, riter=riter0, order=order,
+            inlier_lt_100=inlier_lt_100)
+        it0 = 1
+
+    def body(i, carry):
+        key_, phi_, h1eq_, _cov = carry
+        key_, sub_ = jax.random.split(key_)
+        phi_, h1eq_, cov_, _ = _seed_iter(
+            sub_, phi_, d, d_fit, include, h1eq_, min_cov, gamma_scl,
+            rcons_vec[i], tau, riter=riter, order=order,
+            inlier_lt_100=inlier_lt_100)
+        return key_, phi_, h1eq_, cov_
+
+    key, phi, h1eq, last_cov = jax.lax.fori_loop(
+        it0, n_iters, body, (key, phi, h1eq, last_cov))
+
+    dead = dead | (jnp.sum(phi >= 0.0) < 20)
+    if adjust_cov:
+        take = (last_cov > 0.5) if inlier_lt_100 else jnp.bool_(True)
+        min_cov = jnp.where(take & ~dead, last_cov, min_cov)
+    if next_shape is not None:
+        phi = imresize(phi, next_shape, "bicubic")
+    return key, phi, h1eq, min_cov, dead
+
+
 def _generate_seeds(d_levels, d_fit_levels, pyramid, order, sigma_lim, cset_vect,
                     iterations, aa0, seeds, gamma0, tau, key,
                     ransac_first, ransac_rest, inlier_lt_100):
@@ -166,67 +243,51 @@ def _generate_seeds(d_levels, d_fit_levels, pyramid, order, sigma_lim, cset_vect
     phi_out, models_out = [], []
     gamma = gamma0
     sig_empty = False
+    mid = round(len(pyramid) / 2) - 1
+    aa_shapes = tuple(shapes[1:n_levels])
 
     for _seed in range(seeds):
         if not sig_empty:
-            aa = [aa[0]]
-            for i in range(1, n_levels):
-                aa.append(imresize(aa[i - 1], shapes[i], "bicubic"))
+            aa = list(_aa_chain(aa[0], aa_shapes))
         sig_empty = False
-        min_cov = float(sigma_lim)
+        min_cov = jnp.float32(sigma_lim)
+        dead = jnp.bool_(False)
         phi = phi_init
         h1eq = jnp.zeros((3 if order == 1 else 6,), jnp.float32)
-        last_cov = None
 
+        # the whole seed runs sync-free: one fused program per pyramid
+        # stage (_seed_stage folds the mask init / bigcomp / minCOV
+        # adjust / upscale epilogues), min_cov and the SIG_emptysegment
+        # flag ride along on-device, ONE host sync at the end decides
+        # whether the seed is recorded (:332-335 break semantics: a dead
+        # seed's phi is frozen by the alive gate through the remaining
+        # stages and discarded here)
         for cscl in range(len(pyramid) - 1):
             scl = pyramid[cscl] - 1  # to 0-based
             h, w = shapes[scl]
             gamma_scl = gamma * float((h * w) ** 0.7)
             include = aa[scl] > 0.05
             if cscl == 0:
-                phi = jnp.where(include, phi, -1.0)
-
-            if cscl == round(len(pyramid) / 2) - 1:
-                # biggest-connected-component sanity pass (:282-298)
-                big = biggest_component_mask(phi > 0)
-                phi = jnp.where(big, 5.0, -5.0)
-
-            for it in range(iterations):
-                riter = ransac_first if (it == 0 and cscl == 0) else ransac_rest
-                if cscl == 0:
-                    rcons = cset_vect[min(it, len(cset_vect) - 1)]
-                else:
-                    rcons = cset_vect[-1]
-                key, sub = jax.random.split(key)
-                # dead seeds pass through unchanged inside _seed_iter (the
-                # traced `alive` gate), so no per-iteration host sync
-                phi, h1eq, last_cov, _alive = _seed_iter(
-                    sub, phi, d_levels[scl], d_fit_levels[scl], include, h1eq,
-                    min_cov, gamma_scl, rcons, tau,
-                    riter=riter, order=order, inlier_lt_100=inlier_lt_100,
-                )
-            # ONE device sync per pyramid stage (SIG_emptysegment, :332-335)
-            if not bool(jnp.sum(phi >= 0.0) >= 20):
-                sig_empty = True
-
-            if sig_empty:
-                gamma = gamma * 0.8
-                break
-
-            if cscl == round(len(pyramid) / 2) - 1 and last_cov is not None:
-                # auto-adjust the minimum variance: the reference recomputes
-                # cov from the last distD without the floor — unconditionally
-                # in the dense variant (DispSegmentation.m:408-412), but only
-                # when covect > 0.5 in the sparse one (Sparse.m:418-425),
-                # keeping the 0.7 floor against overconfident tiny variances
-                if (not inlier_lt_100) or float(last_cov) > 0.5:
-                    min_cov = float(last_cov)
-
+                rcons_vec = jnp.asarray(
+                    [cset_vect[min(it, len(cset_vect) - 1)]
+                     for it in range(iterations)], jnp.float32)
+            else:
+                rcons_vec = jnp.full((iterations,), cset_vect[-1], jnp.float32)
             nxt = pyramid[cscl + 1]
-            if nxt != -1:
-                phi = imresize(phi, shapes[nxt - 1], "bicubic")
+            key, phi, h1eq, min_cov, dead = _seed_stage(
+                key, phi, d_levels[scl], d_fit_levels[scl], include, h1eq,
+                min_cov, dead, gamma_scl, rcons_vec, tau,
+                riter0=(ransac_first if cscl == 0 else ransac_rest),
+                riter=ransac_rest, n_iters=iterations, order=order,
+                inlier_lt_100=inlier_lt_100, peel=(cscl == 0),
+                mask_init=(cscl == 0), bigcomp=(cscl == mid),
+                adjust_cov=(cscl == mid),
+                next_shape=(shapes[nxt - 1] if nxt != -1 else None))
 
-        if not sig_empty:
+        sig_empty = bool(dead)  # the seed's single device->host sync
+        if sig_empty:
+            gamma = gamma * 0.8
+        else:
             phi_out.append(phi)
             models_out.append(h1eq)
             aa[0] = ((phi < 0) & (aa[0] > 0)).astype(jnp.float32)
@@ -322,16 +383,53 @@ def _rc_purge(phi, alive, thr_px):
     return alive & (sizes >= thr_px)
 
 
+@partial(jax.jit, static_argnames=("n_iters", "order", "strategy",
+                                   "inlier_lt_100", "next_shape"))
+def _rc_stage(key, phi, d, d_fit, surface, alive, min_cov, cset, tau, gamma,
+              thr_px, n_iters: int, order: int, strategy: str,
+              inlier_lt_100: bool, next_shape=None):
+    """One pyramid stage of region competition as ONE device program
+    (the reference's per-stage loop, DispSegmentation.m:531-631, with
+    the recompute-every-2-iterations optimisation as a lax.cond). One
+    dispatch per stage instead of ~1.5 per iteration; the purge stays an
+    on-device alive-mask update (:505-529)."""
+    zeros = jnp.zeros_like(phi)
+
+    def body(i, carry):
+        key_, phi_, surface_, alive_, data, dh, grad = carry
+        alive_ = _rc_purge(phi_, alive_, thr_px)
+        key_, sub = jax.random.split(key_)
+
+        def recompute(args):
+            phi_c, surface_c, alive_c = args
+            d2, dh2, g2, s2, _cov = _rc_recompute(
+                sub, phi_c, d, d_fit, surface_c, min_cov, cset, alive_c,
+                order=order, strategy=strategy, inlier_lt_100=inlier_lt_100)
+            return d2, dh2, g2, s2
+
+        data, dh, grad, surface_ = jax.lax.cond(
+            i % 2 == 0, recompute,
+            lambda args: (data, dh, grad, args[1]),
+            (phi_, surface_, alive_))
+        phi_ = _rc_cv_step(phi_, data, dh, grad, tau, gamma, alive_)
+        return key_, phi_, surface_, alive_, data, dh, grad
+
+    key, phi, surface, alive, _, _, _ = jax.lax.fori_loop(
+        0, n_iters, body, (key, phi, surface, alive, zeros, zeros, zeros))
+    if next_shape is not None:
+        phi = imresize(phi, next_shape, "bicubic")
+    return key, phi, surface, alive
+
+
 def _region_competition(d_levels, d_fit_levels, pyramid, order, sigma_lim,
                         iterations, srem_thr, phi_list, strategy, key,
                         gamma_coef, tau, inlier_lt_100, cset=0.7):
     n_levels = max(pyramid)
     shapes = [d_levels[i].shape for i in range(n_levels)]
 
-    # downscale the stack through the levels (:470-473)
-    phi_levels = [jnp.stack(phi_list)]
-    for i in range(1, n_levels):
-        phi_levels.append(imresize(phi_levels[i - 1], shapes[i], "bicubic"))
+    # downscale the stack through the levels (:470-473), one program
+    phi_levels = list(_aa_chain(jnp.stack(phi_list),
+                                tuple(shapes[1:n_levels])))
 
     min_cov = float(sigma_lim)
     s = phi_levels[0].shape[0]
@@ -343,27 +441,26 @@ def _region_competition(d_levels, d_fit_levels, pyramid, order, sigma_lim,
         scl = pyramid[cscl] - 1
         h, w = shapes[scl]
         gamma = gamma_coef * float((h * w) ** 0.7)
-        phi = phi_levels[scl] if phi is None else imresize(phi, (h, w), "bicubic")
-        data = dh = grad = None
+        if phi is None:
+            phi = phi_levels[scl]
 
-        for it in range(iterations):
-            # purge on-device; a purged slot takes effect in the
-            # competition DATA at the next scheduled recompute (<= 1
-            # iteration later) instead of the reference's immediate
-            # recompute — the cost of keeping the loop sync-free
-            alive = _rc_purge(phi, alive, srem_thr * h * w)
-            if it % 2 == 0:  # mod(iter,2) with 1-based iter (:531)
-                key, sub = jax.random.split(key)
-                data, dh, grad, surface, _ = _rc_recompute(
-                    sub, phi, d_levels[scl], d_fit_levels[scl], surface,
-                    min_cov, jnp.float32(cset), alive, order=order,
-                    strategy=strategy, inlier_lt_100=inlier_lt_100,
-                )
-            phi = _rc_cv_step(phi, data, dh, grad, tau, gamma, alive)
+        # whole stage (incl. the upscale to the next stage) in one
+        # dispatch; purge on-device — a purged slot takes effect in the
+        # competition DATA at the next scheduled recompute (<= 1
+        # iteration later, mod(iter,2) schedule :531) instead of the
+        # reference's immediate recompute, and the all-segments-gone
+        # early exit (:505-529) is decided once at the end instead of
+        # per stage — the cost of keeping the loop sync-free
+        nxt = pyramid[cscl + 1]
+        key, phi, surface, alive = _rc_stage(
+            key, phi, d_levels[scl], d_fit_levels[scl], surface, alive,
+            jnp.float32(min_cov), jnp.float32(cset), tau, gamma,
+            jnp.float32(srem_thr * h * w), n_iters=iterations, order=order,
+            strategy=strategy, inlier_lt_100=inlier_lt_100,
+            next_shape=(shapes[nxt - 1] if nxt != -1 else None))
 
-        # one host sync per pyramid stage: all segments gone?
-        if not bool(jnp.any(alive)):
-            return [], jnp.zeros((0, 3 if order == 1 else 6)), key
+    if not bool(jnp.any(alive)):  # single host sync for the whole phase
+        return [], jnp.zeros((0, 3 if order == 1 else 6)), key
 
     keep = np.where(np.asarray(alive))[0]
     return [phi[i] for i in keep], surface[jnp.asarray(keep)], key

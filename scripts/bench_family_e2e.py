@@ -135,22 +135,22 @@ def main():
 
         fix = os.path.join(os.path.dirname(__file__), "..", "tests",
                            "fixtures", "disparity_maps.npz")
-        dd = jnp.asarray(np.load(fix)["dd"][::2, ::2][40:120, 50:150])
+        dd = jnp.asarray(np.load(fix)["dd"])  # full map: runme.m:156-158
 
         # host-orchestrated pipeline (seed growth + region competition,
-        # DispSegmentation.m:96-145): many small dispatches, so through
-        # this environment's tunnel the wall-clock is dominated by
-        # per-dispatch overhead a real deployment would not pay — labeled
+        # DispSegmentation.m:96-145) with one fused program per pyramid
+        # stage (_seed_stage/_rc_stage): ~1e2 dispatches total, each
+        # paying this environment's tunnel overhead — labeled
         # accordingly. One warm run (jit caches populated), one timed.
         disp_segmentation(dd, seeds=4)
         t0 = time.perf_counter()
         phi, seg, sparam = disp_segmentation(dd, seeds=4)
         np.asarray(seg)
         best = time.perf_counter() - t0
-        base = _base("seg_tsukuba_crop")
-        metric = ("segmentation end-to-end, Tsukuba disparity crop 80x100 "
-                  "(dense seeds=4; host-orchestrated, incl. per-dispatch "
-                  "tunnel overhead)")
+        base = _base("seg_tsukuba_full")
+        metric = ("segmentation end-to-end, regenerated Tsukuba disparity "
+                  "map 356x451 (dense seeds=4; host-orchestrated stages, "
+                  "incl. per-dispatch tunnel overhead)")
     else:
         raise SystemExit(f"unknown family {fam}")
 

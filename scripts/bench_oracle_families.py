@@ -102,9 +102,13 @@ def main(only=None):
     if os.path.exists(fix):
         import oracle_seg
 
-        dd = np.load(fix)["dd"][::2, ::2][40:120, 50:150]
+        ddm = np.load(fix)["dd"]
+        dd = ddm[::2, ::2][40:120, 50:150]
         record("seg_tsukuba_crop", lambda: oracle_seg.disp_segmentation_np(
             np.asarray(dd, np.float64), seeds=4)[0])
+        # the actual runme.m:156-158 workload: the FULL regenerated map
+        record("seg_tsukuba_full", lambda: oracle_seg.disp_segmentation_np(
+            np.asarray(ddm, np.float64), seeds=4)[0])
 
 
 if __name__ == "__main__":
